@@ -1,0 +1,77 @@
+from ocr_sam_project_ray.functions.html_text import (
+    classify_paragraphs, extract_main_text, parse_paragraphs,
+)
+
+
+def _doc(body: str) -> bytes:
+    return f"<!DOCTYPE html><html><head><title>T</title></head><body>{body}</body></html>".encode()
+
+
+LONG = "Este parrafo contiene suficiente texto como para ser considerado contenido principal."
+
+
+def test_link_farm_dropped_content_kept():
+    html = _doc(
+        '<div class="nav"><a href="/a">Uno</a> <a href="/b">Dos</a> <a href="/c">Tres</a></div>'
+        f"<p>{LONG}</p>"
+        '<div class="footer"><a href="/x">Fin</a> <a href="/y">Mapa</a></div>'
+    )
+    assert extract_main_text(html) == LONG
+
+
+def test_short_paragraph_promoted_by_neighbor():
+    html = _doc(f"<p>OFICIO: JE-1-2025</p><p>{LONG}</p>")
+    assert extract_main_text(html) == f"OFICIO: JE-1-2025\n{LONG}"
+
+
+def test_isolated_short_paragraph_dropped():
+    html = _doc(
+        '<div><a href="/a">AAA</a> <a href="/b">BBB</a> <a href="/c">CCC</a></div>'
+        "<p>corto</p>"
+        '<div><a href="/d">DDD</a> <a href="/e">EEE</a> <a href="/f">FFF</a></div>'
+    )
+    assert extract_main_text(html) == ""
+
+
+def test_near_chain_promotion():
+    html = _doc(f"<p>linea uno</p><p>linea dos</p><p>{LONG}</p>")
+    assert extract_main_text(html) == f"linea uno\nlinea dos\n{LONG}"
+
+
+def test_table_rows_joined_with_pipes():
+    html = _doc(
+        f"<p>{LONG}</p>"
+        "<table><tr><td>MARIA GOMEZ</td><td>8-123-4567</td><td>1,500.00</td></tr></table>"
+    )
+    assert extract_main_text(html) == f"{LONG}\nMARIA GOMEZ | 8-123-4567 | 1,500.00"
+
+
+def test_script_style_head_skipped():
+    html = _doc(f"<script>var x='<p>no</p>';</script><style>p{{}}</style><p>{LONG}</p>")
+    assert extract_main_text(html) == LONG
+
+
+def test_whitespace_collapse_and_entities():
+    html = _doc(f"<p>  a   b \n\t c &amp; d  </p><p>{LONG}</p>")
+    assert extract_main_text(html) == f"a b c & d\n{LONG}"
+
+
+def test_empty_and_non_utf8():
+    assert extract_main_text(b"") == ""
+    out = extract_main_text(bytes([0xFF, 0xFE, 0x80]) * 100)
+    assert isinstance(out, str)  # deterministic, no raise
+
+
+def test_link_density_math():
+    paras = parse_paragraphs(
+        f'<p><a href="/x">enlace</a> {LONG}</p>'
+    )
+    assert len(paras) == 1
+    assert paras[0].link_chars == len("enlace")
+    classify_paragraphs(paras)
+    assert paras[0].label == "good"  # low link density, long
+
+
+def test_determinism():
+    html = _doc(f"<p>{LONG}</p><table><tr><td>a</td><td>b</td></tr></table>")
+    assert extract_main_text(html) == extract_main_text(html)

@@ -1,0 +1,96 @@
+"""Regex parity tests — cases anchored to the cited reference semantics."""
+
+from ocr_sam_project_ray.functions import patterns as P
+from ocr_sam_project_ray.functions.extract_core import (
+    extract_basic_info, extract_entities,
+)
+
+
+def test_cedula():
+    pat = P.PANAMA_PATTERNS["cedula"]
+    assert pat.search("cedula 8-123-4567 registrada")
+    assert pat.search("12-1-1")
+    assert not pat.search("123-45678-90123")
+    assert not pat.search("sin numeros")
+
+
+def test_ruc():
+    pat = P.PANAMA_PATTERNS["ruc"]
+    assert pat.search("155-123456-22")
+    assert pat.search("8-123-45")
+
+
+def test_oficio_number():
+    pat = P.PANAMA_PATTERNS["oficio_number"]
+    assert pat.search("JE-1234-2025")
+    assert pat.search("DJ-456")
+    assert pat.search("No. 123")
+    assert not pat.search("XX-99")
+
+
+def test_phone_money_date():
+    assert P.PANAMA_PATTERNS["phone"].search("tel 263-4455")
+    assert P.PANAMA_PATTERNS["money"].search("monto B/. 1,500.00")
+    assert P.PANAMA_PATTERNS["money"].search("B/.250")
+    assert P.PANAMA_PATTERNS["date_es"].search("el 23 de mayo de 2025")
+    assert not P.PANAMA_PATTERNS["date_es"].search("23/05/2025")
+
+
+def test_person_row_reference_example():
+    # the worked example from post_ocr_validator.py:106 / ocr_service.py prompt
+    text = "MINI SUPER AYACUCHO/RICARDO QIU ZHANG | 8-947-865, D.V. 86 | 467.50"
+    ents = extract_entities(text)
+    assert len(ents) == 1
+    e = ents[0]
+    assert e["nombre_completo"] == "MINI SUPER AYACUCHO/RICARDO QIU ZHANG"
+    assert e["numero_identificacion"] == "8-947-865, D.V. 86"
+    assert e["monto"] == "467.50"
+    assert e["monto_numerico"] == 467.50
+    assert e["tipo_persona"] == "Extraído del texto"
+
+
+def test_person_row_multiple_and_comma_amount():
+    text = (
+        "MARIA GOMEZ LOPEZ | 8-123-4567 | 1,234.50\n"
+        "PEDRO RIOS | 2-456-7890, D.V. 11 | 99.00"
+    )
+    ents = extract_entities(text)
+    assert [e["nombre_completo"] for e in ents] == ["MARIA GOMEZ LOPEZ", "PEDRO RIOS"]
+    assert ents[0]["monto"] == "1234.50"  # commas stripped, reference behavior
+    assert ents[0]["monto_numerico"] == 1234.50
+
+
+def test_person_row_no_match_in_prose():
+    assert extract_entities("la cedula 8-123-4567 por B/. 500.00") == []
+
+
+def test_separator_lines():
+    assert P.is_separator_line("SEPARADOR DE OFICIOS")
+    assert P.is_separator_line("=====================")
+    assert P.is_separator_line("--- DIVISOR ---")
+    assert not P.is_separator_line("x" * 150 + " --- " + "y" * 60)  # too long
+    assert not P.is_separator_line("linea normal de contenido")
+
+
+def test_basic_info():
+    info = extract_basic_info(
+        "OFICIO: JE-881-2025\nJuzgado Primero de Circuito hace saber. "
+        "Fechado el 12/05/2025."
+    )
+    assert info["numero_oficio"] == "JE-881-2025"
+    assert info["autoridad"].startswith("Juzgado Primero")
+    assert info["fecha_emision"] == "12/05/2025"
+
+
+def test_basic_info_no_captures_garbage_tolerated():
+    # reference mechanics: "no" inside words can capture (app.py:553-556);
+    # we only assert determinism, not prettiness
+    a = extract_basic_info("las normas vigentes")
+    b = extract_basic_info("las normas vigentes")
+    assert a == b
+
+
+def test_should_have_persons():
+    assert P.should_have_persons("tabla de Agente Económico con filas")
+    assert P.should_have_persons("8-123-456 con monto 1,500.00")
+    assert not P.should_have_persons("texto sin indicadores de tabla")

@@ -1,0 +1,78 @@
+from ocr_sam_project_ray.functions import textops as T
+
+
+def test_clean_text():
+    assert T.clean_text("  hola   mundo  ") == "hola mundo"
+    assert T.clean_text("a@#b") == "ab"
+    assert T.clean_text(None) == ""
+
+
+def test_clean_value():
+    assert T.clean_value(None) == ""
+    assert T.clean_value("null") == ""
+    assert T.clean_value(5) == "5"
+    assert T.clean_value(" x ") == "x"
+
+
+def test_normalize_company_name():
+    assert T.normalize_company_name("ACME CORP") == "Acme"
+    assert T.normalize_company_name("banco sol S.A.") == "Banco Sol"
+    assert T.normalize_company_name("") == "No especificado"
+
+
+def test_safe_string():
+    assert T.safe_string(None) == ""
+    assert T.safe_string("No especificado", default="d") == "d"
+    assert T.safe_string("abcdef", max_length=5) == "ab..."
+    assert T.safe_string("a\nb\rc\x00") == "a bc"  # \r stripped, \n → space
+
+
+def test_safe_number_clamps():
+    assert T.safe_number("B/. 1,500.00") == 1500.0
+    assert T.safe_number("-5") == 0.0
+    assert T.safe_number("9999999999") == 999999999.0
+    assert T.safe_number("garbage", default=7.0) == 7.0
+    assert T.safe_number(None) == 0.0
+
+
+def test_safe_date():
+    assert T.safe_date("2025-05-23") == "2025-05-23"
+    assert T.safe_date("23/05/2025") == "1900-01-01"
+    assert T.safe_date("") == "1900-01-01"
+
+
+def test_parse_date_es_long_form():
+    assert T.parse_date_es("23 de mayo de 2025") == "2025-05-23"
+    assert T.parse_date_es("1 de enero de 2024") == "2024-01-01"
+
+
+def test_parse_date_es_numeric_ladder():
+    assert T.parse_date_es("23/05/2025") == "2025-05-23"
+    assert T.parse_date_es("23-05-2025") == "2025-05-23"
+    assert T.parse_date_es("23.05.2025") == "2025-05-23"
+    assert T.parse_date_es("2025-05-23") == "2025-05-23"
+
+
+def test_parse_date_es_sentinels():
+    assert T.parse_date_es("no es fecha") is None
+    assert T.parse_date_es("no es fecha", nullable=False) == "1900-01-01"
+    assert T.parse_date_es("", nullable=False) == "1900-01-01"
+
+
+def test_parse_monto():
+    assert T.parse_monto("B/. 1,500.00") == 1500.0
+    assert T.parse_monto("467.50") == 467.50
+    assert T.parse_monto("junk") == 0.0
+
+
+def test_split_name_flavor_a():
+    # ocr_processor/app.py:499-503: tok0/tok1/tok2/tok3+
+    s = T.split_name("JUAN CARLOS MARTINEZ ROJAS QUINTERO")
+    assert s == {
+        "nombre": "JUAN",
+        "apellido_paterno": "CARLOS",
+        "apellido_materno": "MARTINEZ",
+        "nombre_segundo": "ROJAS QUINTERO",
+    }
+    assert T.split_name("ANA")["apellido_paterno"] == ""
+    assert T.split_name("")["nombre"] == ""

@@ -1,0 +1,80 @@
+"""Driver-contract simulator: runs entry() and every queries() entry against
+its oracle_sql() via DuckDB, comparing row count, column names, and
+order-insensitive values — the same comparison shape the external driver
+applies at sf=0.01. Usage: python tools/check_oracle.py [sf_dir] [num_cpus]
+"""
+
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype) == "bool":
+            df[c] = df[c].astype(int)
+        elif "datetime" in str(df[c].dtype):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ncpu = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+
+    ds = E.entry()
+    n = ds.count() if hasattr(ds, "count") else len(ds)
+    print(f"entry(): {n} rows")
+    assert n >= 0
+
+    con = duckdb.connect()
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        got = fn(sf_dir)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"  {name}: {len(got)} rows (no oracle — rows-only)")
+            continue
+        exp = con.sql(sql).df()
+        g, e = normalize(got), normalize(exp)
+        status = "OK"
+        if list(g.columns) != list(e.columns):
+            status = f"SCHEMA MISMATCH {list(g.columns)} vs {list(e.columns)}"
+        elif len(g) != len(e):
+            status = f"ROWCOUNT {len(g)} vs {len(e)}"
+        elif not g.equals(e):
+            diff = (g != e).any(axis=1)
+            status = f"VALUES differ on {int(diff.sum())} rows"
+            ex_g = g[diff].head(2)
+            ex_e = e[diff].head(2)
+            status += f"\n    got: {ex_g.to_dict('records')}\n    exp: {ex_e.to_dict('records')}"
+        print(f"  {name}: {len(g)} rows … {status}")
+        if status != "OK":
+            failures.append(name)
+    ray.shutdown()
+    if failures:
+        print(f"FAILED: {failures}")
+        sys.exit(1)
+    print("ALL ORACLE CHECKS PASS")
+
+
+if __name__ == "__main__":
+    main()
