@@ -1,0 +1,155 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline extraction pipeline over the synthetic page corpus derived
+from $GRAFT_SF_DIR (default /root/testdata/sf0.1 → 24k pages) plus the other
+headline pipelines, and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 over the same (pre-generated, page-cache-warmed)
+input and reports both throughputs + scaling efficiency — the in-sandbox
+proxy for the north rule's N→4N cluster criterion (see BASELINE.md).
+
+This script OWNS its ray session (init/shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_number(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,  # keep stdout to exactly one JSON line
+    )
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.pipelines.extraction import (
+        PipelineConfig, batch_rollup, build_extraction, project_persons,
+        read_pages, run_extraction,
+    )
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+    from ocr_sam_project_ray.stages.dedup import dedup_by_url
+
+    configure_data_context()
+    paths = ensure_corpus(sf_dir)  # untimed generation (cached)
+
+    # untimed warm read: measure compute+shuffle, not first-touch disk I/O
+    ray.data.read_parquet(paths["pages"]).count()
+
+    cfg = PipelineConfig(dedup_partitions=max(8, num_cpus // 2))
+    out_dir = f"/tmp/ocr_sam_ray_bench/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    queries: dict[str, float] = {}
+
+    # untimed warmup: run the same pipeline once so Ray worker processes /
+    # shuffle aggregators exist and imports are loaded — both parallelism
+    # levels then measure steady-state throughput, not process cold-start
+    run_extraction(sf_dir, cfg).count()
+
+    # headline: full extraction pipeline → parquet sink (the real consumer);
+    # best of 2 timed runs (single-node wall times vary ~±10%)
+    headline = float("inf")
+    for rep in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        ds = run_extraction(sf_dir, cfg)
+        ds.write_parquet(os.path.join(out_dir, "extracted"))
+        headline = min(headline, time.time() - t0)
+    queries["extraction_write"] = round(headline, 3)
+
+    n_docs = ray.data.read_parquet(os.path.join(out_dir, "extracted")).count()
+
+    # dedup only (the wide op in isolation)
+    t0 = time.time()
+    dedup_by_url(
+        ray.data.read_parquet(paths["pages"], columns=["url", "warc_ts"]),
+        num_partitions=cfg.dedup_partitions,
+    ).count()
+    queries["dedup_only"] = round(time.time() - t0, 3)
+
+    # persons projection + batch rollup on top of a cached annotated dataset
+    annotated = run_extraction(sf_dir, cfg).materialize()
+    t0 = time.time()
+    project_persons(annotated).count()
+    queries["project_persons"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    batch_rollup(annotated).count()
+    queries["batch_rollup"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "extraction_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_number(sf_dir),
+        "num_cpus": num_cpus,
+        "docs_out": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1) if headline > 0 else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    # pre-generate + warm in this process so both children see a hot cache
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    ensure_corpus(sf_dir)
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = child(lo), child(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo) if t_hi > 0 else None
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3) if eff else None,
+        "unit": "ratio",
+        "sf": _sf_number(sf_dir),
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo.get("docs_per_sec"),
+        f"docs_per_sec_{hi}": r_hi.get("docs_per_sec"),
+        "cpus": [lo, hi],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

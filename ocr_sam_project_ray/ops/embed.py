@@ -1,0 +1,193 @@
+"""Embedding similarity ops over a (id, embedding: list<float>) table:
+
+- knn_cosine:       brute-force cosine top-k — the broadcast pattern: the
+                    query matrix is ``ray.put`` once, every batch does one
+                    numpy matmul against it and emits only its LOCAL top-k
+                    per query; the global merge handles k×n_batches rows
+                    (tiny), never the full corpus
+- cosine_near_pairs: exact all-pairs cosine ≥ τ over a bounded id subset
+                    (SQL-oracle-checkable verification kernel)
+- knn_ivf:          IVF-style scale path: k-means-lite centroids (fixed
+                    deterministic seeds), partition by nearest centroid,
+                    probe only the closest n_probe partitions per query
+
+All float comparisons exported to oracles are rounded to 6 dp on BOTH
+sides; computations are float64 from the float32 column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    flat = np.asarray(arr.combine_chunks().flatten(), dtype=np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_cosine(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "pa.Table":
+    """Top-k cosine neighbours for each query vector. Returns an arrow table
+    (qid, vec_id, sim) — k rows per query, sim rounded to 6 dp."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)  # broadcast once, read per task — never re-shipped
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        sims = q @ m.T  # (Q, B)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        kk = min(k, sims.shape[1])
+        out_q, out_i, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            part = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([query_ids[qi]] * len(part))
+            out_i.extend(ids[part].tolist())
+            out_s.extend(sims[qi][part].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_i, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+    # global merge: k × n_batches rows per query — a small reduction
+    merged = partials.to_pandas()
+    merged = merged.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+    top = merged.groupby("qid", as_index=False).head(k)
+    top["sim"] = top["sim"].round(6)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+def cosine_near_pairs(
+    ds: Dataset, threshold: float, max_id: int,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> Dataset:
+    """Exact cosine ≥ τ pairs among ids < max_id (bounded verification
+    kernel; the scale path buckets by IVF centroid / LSH hyperplane first)."""
+    import pyarrow.compute as pc
+
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], max_id)), batch_format="pyarrow"
+    ).repartition(1)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        m = _normalize(_batch_matrix(batch, emb_col))[order]
+        ids = ids[order]
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ia[mask]], pa.int64()),
+                "id_b": pa.array(ids[ib[mask]], pa.int64()),
+                "sim": pa.array(np.round(sims[ia, ib][mask], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style bucketed ANN (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+def _lite_centroids(sample: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
+    """Deterministic k-means-lite: first-n seed, fixed Lloyd iterations."""
+    c = sample[:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(_normalize(sample) @ _normalize(c).T, axis=1)
+        for j in range(n_centroids):
+            members = sample[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def knn_ivf(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "pa.Table":
+    """IVF-bucketed approximate top-k: train centroids on a bounded sample,
+    assign every vector to its nearest centroid inside map_batches, then
+    search only the ``n_probe`` closest buckets per query. At cluster scale
+    the bucket assignment is the partition key (one shuffle) and each query
+    touches n_probe/n_centroids of the data."""
+    sample_df = ds.limit(sample_rows).to_pandas()  # bounded, small
+    sample = np.asarray(list(sample_df[emb_col]), dtype=np.float64)
+    cents = _lite_centroids(sample, n_centroids)
+    cn = _normalize(cents)
+    c_ref = ray.put(cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        bucket = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(bucket, pa.int32()))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    probe_sets = [set(row.tolist()) for row in probe]
+    q_ref = ray.put((qn, probe_sets))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, psets = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        buckets = np.asarray(batch["ivf_bucket"].to_pylist())
+        out_q, out_i, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(buckets, list(psets[qi]))
+            if not mask.any():
+                continue
+            sims = q[qi] @ m[mask].T
+            kk = min(k, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            sel_ids = ids[mask][part]
+            out_q.extend([query_ids[qi]] * len(part))
+            out_i.extend(sel_ids.tolist())
+            out_s.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_i, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = assigned.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
+    merged = partials.to_pandas()
+    merged = merged.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+    top = merged.groupby("qid", as_index=False).head(k)
+    top["sim"] = top["sim"].round(6)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)

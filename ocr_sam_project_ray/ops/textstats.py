@@ -1,0 +1,140 @@
+"""Text analysis ops: language-ID, quality scoring, token counting,
+fingerprinting. Every op is a vectorized ``map_batches`` stage and has an
+exactly-matching ANSI-SQL rendering (used by the DuckDB oracles), so the
+Ray implementation is independently re-computable.
+
+Token model (the contract): tokens = non-empty runs split on ``\\s+`` after
+strip; empty text → 0 tokens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[.,;:!?]")
+
+# small fixed stopword sets per language (deterministic heuristic lang-ID);
+# ties break by alphabetical language code, no hits → "und"
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "den", "von", "zu", "das", "mit", "ist", "nicht"),
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "es": ("el", "la", "de", "que", "y", "a", "en", "un", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "une", "est"),
+}
+
+
+def tokenize(text: str) -> list[str]:
+    t = (text or "").strip()
+    return _WS.split(t) if t else []
+
+
+def lang_id(text: str) -> str:
+    toks = tokenize(text.lower())
+    best_lang, best_hits = "und", 0
+    for lang in sorted(STOPWORDS):  # alphabetical = deterministic tie-break
+        hits = sum(1 for t in toks if t in STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+def quality_row(text: str) -> dict:
+    toks = tokenize(text)
+    n_chars = len(text or "")
+    n_tokens = len(toks)
+    sum_tok = sum(len(t) for t in toks)
+    punct = len(_PUNCT.findall(text or ""))
+    stop_en = sum(1 for t in tokenize((text or "").lower()) if t in STOPWORDS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        # integer sum (not a float mean) so the SQL oracle compares exactly
+        "sum_token_len": sum_tok,
+        "punct_count": punct,
+        "stopword_count_en": stop_en,
+        # mean >= 3.0 expressed in integer math: sum >= 3 * n
+        "passes_quality": bool(n_tokens >= 10 and sum_tok >= 3 * n_tokens),
+    }
+
+
+def fingerprint_md5(text: str) -> str:
+    return hashlib.md5((text or "").encode("utf-8")).hexdigest()
+
+
+def rolling_fingerprint(text: str, window: int = 8, mod: int = (1 << 61) - 1) -> int:
+    """Deterministic rolling-hash document fingerprint: min of polynomial
+    window hashes over the byte stream (winnowing-style min-sampling).
+    Not SQL-expressible — covered by unit tests + rows-only driver check."""
+    data = (text or "").encode("utf-8")
+    if len(data) < window:
+        h = 0
+        for b in data:
+            h = (h * 257 + b) % mod
+        return h
+    base = 257
+    pw = pow(base, window - 1, mod)
+    h = 0
+    for b in data[:window]:
+        h = (h * base + b) % mod
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * pw) * base + data[i]) % mod
+        if h < best:
+            best = h
+    return best
+
+
+# --- map_batches stages ----------------------------------------------------
+
+def textstats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    rows = [quality_row(t) for t in texts]
+    out = batch
+    for name, typ in [
+        ("n_chars", pa.int64()), ("n_tokens", pa.int64()),
+        ("sum_token_len", pa.int64()), ("punct_count", pa.int64()),
+        ("stopword_count_en", pa.int64()), ("passes_quality", pa.bool_()),
+    ]:
+        out = out.append_column(name, pa.array([r[name] for r in rows], typ))
+    return out.append_column(
+        "lang_pred", pa.array([lang_id(t) for t in texts], pa.string())
+    ).append_column(
+        "fingerprint", pa.array([fingerprint_md5(t) for t in texts], pa.string())
+    ).append_column(
+        "rolling_fp",
+        pa.array([rolling_fingerprint(t) for t in texts], pa.int64()),
+    )
+
+
+# --- SQL renderings (must agree exactly with the Python above) -------------
+
+def sql_n_tokens(col: str) -> str:
+    return (
+        f"CASE WHEN trim({col}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({col}), '\\s+')) END"
+    )
+
+
+def sql_lang_id(col: str) -> str:
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (
+            f"len(list_filter(string_split_regex(trim(lower({col})), '\\s+'), "
+            f"t -> list_contains([{lst}], t)))"
+        )
+
+    # replicate "strictly greater than current best, langs in alphabetical
+    # order" via a greatest-with-first-wins CASE
+    h = {lang: hits(lang) for lang in sorted(STOPWORDS)}
+    g = f"greatest({', '.join(h.values())})"
+    whens = "\n".join(
+        f"WHEN {h[lang]} = {g} THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return (
+        f"CASE WHEN trim({col}) = '' OR {g} = 0 THEN 'und'\n{whens}\nELSE 'und' END"
+    )

@@ -1,0 +1,154 @@
+"""Checkpointed, resumable pipeline runner with per-partition lineage.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". Reference analogs: per-job result.json as checkpoint
+(src/services/storage_service.py:64-95), DynamoDB status rows enabling
+idempotent replay (src/services/tracking_service.py:22-82), derived batch
+progress (tracking_service.py:93-152).
+
+Design (SURVEY.md §4 checkpoint row):
+- the unit of work is an input SHARD = a group of input parquet files
+  (deterministic assignment by sorted file order);
+- each shard's output is written to ``{out}/shard={id}/`` via a temp dir +
+  atomic rename, then a lineage record ``{out}/lineage/{id}.json`` is
+  written atomically (write-then-rename). The lineage record is the source
+  of truth: a shard directory without one is a torn write and is redone;
+- ``resume``: shards with a completed lineage record are skipped entirely
+  (their input files are never read);
+- ``metrics.json`` aggregates lineage after the run (counts, wall times) —
+  the CloudWatch-metrics analog (src/ocr_processor/app.py:698-718), computed
+  from sidecars, never from shared mutable counters.
+
+Partitioning assumption (documented per SURVEY.md custom-operator rule):
+shard-local url dedup is exact only when all copies of a url are in the
+same shard — guaranteed for this corpus (url-aligned file splits,
+sources/synthetic.split_offsets_by_url) and typical for crawl data
+partitioned by url/host. Cross-shard duplicates require the global
+dedup_by_url path (the default non-checkpointed pipeline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Optional
+
+import pyarrow.dataset as pads
+
+import ray.data
+
+from ..context import configure_data_context
+from .extraction import PipelineConfig, build_extraction
+
+
+def _shards(files: list[str], n_shards: int) -> list[list[str]]:
+    files = sorted(files)
+    n_shards = max(1, min(n_shards, len(files)))
+    out: list[list[str]] = [[] for _ in range(n_shards)]
+    for i, f in enumerate(files):
+        out[i * n_shards // len(files)].append(f)
+    return out
+
+
+def _lineage_path(out_dir: str, shard_id: str) -> str:
+    return os.path.join(out_dir, "lineage", f"{shard_id}.json")
+
+
+def _write_atomic_json(path: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def completed_shards(out_dir: str) -> set[str]:
+    lineage_dir = os.path.join(out_dir, "lineage")
+    done = set()
+    if os.path.isdir(lineage_dir):
+        for name in os.listdir(lineage_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(lineage_dir, name)) as f:
+                    rec = json.load(f)
+                if rec.get("status") == "completed":
+                    done.add(rec["shard_id"])
+            except (json.JSONDecodeError, OSError, KeyError):
+                continue  # torn lineage ⇒ shard will be redone
+    return done
+
+
+def run_checkpointed(
+    input_files: list[str],
+    out_dir: str,
+    cfg: Optional[PipelineConfig] = None,
+    n_shards: int = 8,
+) -> dict:
+    """Process ``input_files`` shard by shard, skipping completed shards.
+    Returns the aggregated metrics dict (also written to metrics.json)."""
+    configure_data_context()
+    cfg = cfg or PipelineConfig(dedup_partitions=4)
+    done = completed_shards(out_dir)
+    shards = _shards(input_files, n_shards)
+
+    for idx, files in enumerate(shards):
+        shard_id = f"{idx:05d}"
+        shard_dir = os.path.join(out_dir, f"shard={shard_id}")
+        if shard_id in done:
+            continue
+        # torn previous attempt (dir without completed lineage): redo cleanly
+        shutil.rmtree(shard_dir, ignore_errors=True)
+
+        started = time.time()
+        ds = build_extraction(ray.data.read_parquet(files), cfg, pages_path=files)
+        tmp_dir = shard_dir + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ds.write_parquet(tmp_dir)
+        os.replace(tmp_dir, shard_dir)
+
+        # counts from the written shard (source-of-truth accounting)
+        dset = pads.dataset(shard_dir, format="parquet")
+        tbl = dset.to_table(columns=["success"])
+        n_rows = tbl.num_rows
+        n_ok = int(sum(1 for v in tbl["success"].to_pylist() if v))
+        _write_atomic_json(
+            _lineage_path(out_dir, shard_id),
+            {
+                "shard_id": shard_id,
+                "input_fragment": [os.path.basename(f) for f in files],
+                "row_count": n_rows,
+                "success_count": n_ok,
+                "error_count": n_rows - n_ok,
+                "status": "completed",
+                "wall_time_s": round(time.time() - started, 3),
+            },
+        )
+
+    return write_metrics(out_dir)
+
+
+def write_metrics(out_dir: str) -> dict:
+    """Aggregate lineage sidecars → metrics.json (batch accounting analog:
+    counts by status, success rate — ocr_processor/app.py:67-80)."""
+    lineage_dir = os.path.join(out_dir, "lineage")
+    records = []
+    if os.path.isdir(lineage_dir):
+        for name in sorted(os.listdir(lineage_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(lineage_dir, name)) as f:
+                    records.append(json.load(f))
+    total = sum(r["row_count"] for r in records)
+    ok = sum(r["success_count"] for r in records)
+    metrics = {
+        "shards_completed": len(records),
+        "row_count": total,
+        "success_count": ok,
+        "error_count": total - ok,
+        "success_rate": round(ok / total, 6) if total else None,
+        "total_wall_time_s": round(sum(r["wall_time_s"] for r in records), 3),
+    }
+    _write_atomic_json(os.path.join(out_dir, "metrics.json"), metrics)
+    return metrics

@@ -36,11 +36,25 @@ class PipelineConfig:
     O(cluster CPUs) and let the actor pools autoscale."""
 
     dedup_partitions: int = 16
-    dedup: bool = True
-    use_actors: bool = True
-    # html payloads are KB–MB; keep parse batches modest so a batch of
-    # worst-case docs fits a worker heap (SURVEY.md §4 memory row)
-    parse_batch_size: int = 128
+    # "broadcast": payload-free two-pass dedup (column-pruned winner pre-pass
+    #              + broadcast filter; needs the input path) — the scale path
+    # "shuffle":   full hash-shuffle dedup (any duplicate distribution)
+    # "none":      skip dedup
+    dedup_mode: str = "broadcast"
+    # The html/span parser holds NO per-actor state beyond module-level
+    # compiled regexes (imported once per worker process), so stateless
+    # tasks are strictly better here: elastic, no pool sizing, no actor
+    # spawn latency, and a fixed-size pool can starve the read stage.
+    # use_actors=True remains for kernels that DO hold real per-actor state
+    # (models, indexes) and is exercised by tests.
+    use_actors: bool = False
+    # fuse extract+segment+annotate into one actor pool (see stages/fused.py)
+    fused: bool = True
+    # html payloads are KB–MB; keep parse batches SMALL so (a) a batch of
+    # worst-case docs fits a worker heap and (b) huge-page stragglers are
+    # split finely enough for good load balance — measured on the sf0.1
+    # corpus, 48 beat 128 by ~20% wall at 32 CPUs (SURVEY.md §4 skew row)
+    parse_batch_size: int = 48
     annotate_batch_size: int = 512
     parse_concurrency: tuple = (1, 8)
     annotate_concurrency: tuple = (1, 8)
@@ -61,16 +75,46 @@ def read_pages(sf_dir: str, columns: Optional[list[str]] = None) -> ray.data.Dat
 
 
 def build_extraction(
-    ds: ray.data.Dataset, cfg: Optional[PipelineConfig] = None
+    ds: ray.data.Dataset,
+    cfg: Optional[PipelineConfig] = None,
+    pages_path=None,
 ) -> ray.data.Dataset:
-    """pages Dataset → annotated sub-document Dataset (lazy)."""
+    """pages Dataset → annotated sub-document Dataset (lazy).
+
+    ``pages_path`` (a path or list of files) enables the payload-free
+    broadcast dedup; without it the shuffle dedup is used."""
     cfg = cfg or PipelineConfig()
     configure_data_context()
     ds = ds.map_batches(validate_batch, batch_format="pyarrow")
-    if cfg.dedup:
+    if cfg.dedup_mode == "broadcast" and pages_path is not None:
+        import ray as _ray
+
+        from ..stages.dedup import compute_dup_winners, make_winner_filter
+
+        winners_ref = _ray.put(
+            compute_dup_winners(pages_path, num_partitions=min(8, cfg.dedup_partitions))
+        )
+        ds = ds.map_batches(make_winner_filter(winners_ref), batch_format="pyarrow")
+    elif cfg.dedup_mode in ("shuffle", "broadcast"):
         ds = dedup_by_url(ds, num_partitions=cfg.dedup_partitions)
     if cfg.bucket_sort:
         ds = ds.repartition(cfg.dedup_partitions, keys=["size_bucket"])
+    if cfg.fused:
+        from ..stages.fused import ExtractSegmentAnnotate, extract_segment_annotate_batch
+
+        if cfg.use_actors:
+            return ds.map_batches(
+                ExtractSegmentAnnotate,
+                batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size,
+                concurrency=cfg.parse_concurrency,
+                num_cpus=1,
+            )
+        return ds.map_batches(
+            extract_segment_annotate_batch,
+            batch_format="pyarrow",
+            batch_size=cfg.parse_batch_size,
+        )
     if cfg.use_actors:
         ds = ds.map_batches(
             MainContentExtractor,
@@ -102,7 +146,8 @@ def build_extraction(
 def run_extraction(
     sf_dir: str, cfg: Optional[PipelineConfig] = None
 ) -> ray.data.Dataset:
-    return build_extraction(read_pages(sf_dir), cfg)
+    paths = ensure_corpus(sf_dir)
+    return build_extraction(read_pages(sf_dir), cfg, pages_path=paths["pages"])
 
 
 def project_persons(annotated: ray.data.Dataset) -> ray.data.Dataset:

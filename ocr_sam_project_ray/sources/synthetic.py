@@ -145,7 +145,7 @@ def _monto(rng: random.Random) -> float:
 class _Oficio:
     """One sub-document: composed paragraph lines + known expectations."""
 
-    def __init__(self, rng: random.Random, big: bool):
+    def __init__(self, rng: random.Random, big: bool, body_scale: int = 1):
         self.type_id = rng.randrange(1, 17)
         self.numero = _oficio_number(rng)
         self.lines: list[str] = []
@@ -175,7 +175,11 @@ class _Oficio:
             self.lines.append(
                 f"El monto retenido asciende a B/. {_monto(rng):,.2f} segun consta en autos."
             )
-        n_body = rng.randrange(200, 900) if big else rng.randrange(2, 6)
+        n_body = (
+            rng.randrange(200 * body_scale, 900 * body_scale)
+            if big
+            else rng.randrange(2 * body_scale, 6 * body_scale)
+        )
         for _ in range(n_body):
             self.lines.append(rng.choice(_SENTENCES))
 
@@ -232,7 +236,7 @@ class _Oficio:
         return "".join(html)
 
 
-def _compose_page(rng: random.Random, url: str):
+def _compose_page(rng: random.Random, url: str, body_scale: int = 1):
     """Build one page: html bytes + expected doc text / segments / metadata."""
     n_oficios = rng.choices([1, 2, 3], weights=[70, 20, 10])[0]
     big = rng.random() < 0.02
@@ -255,7 +259,7 @@ def _compose_page(rng: random.Random, url: str):
             f"Operador: {rng.choice(_OPERATORS)}",
         ]
 
-    oficios = [_Oficio(rng, big and k == 0) for k in range(n_oficios)]
+    oficios = [_Oficio(rng, big and k == 0, body_scale) for k in range(n_oficios)]
     separators = [
         rng.choice(["SEPARADOR DE OFICIOS", "=====================", "--- DIVISOR ---"])
         for _ in range(n_oficios - 1)
@@ -314,8 +318,15 @@ def _malformed_page(rng: random.Random):
     return raw, "Invalid HTML file: missing closing html tag"
 
 
-def generate_corpus(n_pages: int, seed: int = 42, check: bool = True):
-    """Build (pages, golden_pages, golden_segments, golden_entities) tables."""
+def generate_corpus(
+    n_pages: int, seed: int = 42, check: bool = True, body_scale: int = 1,
+    check_stride: int = 1,
+):
+    """Build (pages, golden_pages, golden_segments, golden_entities) tables.
+
+    ``body_scale`` multiplies per-oficio body length (bench tiers use larger
+    pages so compute dominates fixed costs); ``check_stride`` runs the
+    generator/extractor round-trip assert on every k-th page (1 = all)."""
     pages = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
     gp_cols = ["url", "warc_ts", "success", "error", "extracted_text",
                "empresa", "declared_count", "has_config", "count_valid",
@@ -337,6 +348,7 @@ def generate_corpus(n_pages: int, seed: int = 42, check: bool = True):
         ts = _BASE_TS + timedelta(seconds=i * 97 + rng.randrange(50))
         lang = rng.choices(["es", "en", "other"], weights=[80, 15, 5])[0]
 
+        do_check = check and (i % check_stride == 0)
         malformed = rng.random() < 0.04
         if malformed:
             raw, err = _malformed_page(rng)
@@ -358,9 +370,9 @@ def generate_corpus(n_pages: int, seed: int = 42, check: bool = True):
             continue
 
         raw, expected_text, expected_segments, oficios, declared, has_config, \
-            config_company = _compose_page(rng, url)
+            config_company = _compose_page(rng, url, body_scale)
 
-        if check:
+        if do_check:
             got = extract_main_text(raw)
             assert got == expected_text, (
                 f"generator/extractor drift at {url}:\n"
@@ -382,12 +394,12 @@ def generate_corpus(n_pages: int, seed: int = 42, check: bool = True):
             # parse_metadata lowercases, so the expectation is the lowercased
             # company; assert the parser agrees with the composed config block
             empresa = config_company.lower()
-            if check:
+            if do_check:
                 parsed = core.parse_metadata(expected_text)
                 assert parsed["empresa"] == empresa, (url, parsed["empresa"], empresa)
                 assert parsed["cantidad_oficios_declarada"] == declared, url
             assert core.parse_metadata_has_config(expected_text) is True, url
-        elif check:
+        elif do_check:
             assert core.parse_metadata_has_config(expected_text) is False, url
 
         gp["url"].append(url)
@@ -404,7 +416,7 @@ def generate_corpus(n_pages: int, seed: int = 42, check: bool = True):
             seg_text = "\n".join(seg_lines)
             doc_id = core.mint_doc_id(url, k, n_seg)
             tid, label, tramite, depto = TAXONOMY_BY_ID[ofc.type_id]
-            if check:
+            if do_check:
                 assert classify_text(seg_text)[0] == tid, (url, k, seg_text[:200])
                 got_ents = core.extract_entities(seg_text)
                 assert [e["nombre_completo"] for e in got_ents] == [
@@ -491,8 +503,14 @@ def split_offsets_by_url(pages_t: pa.Table, n_files: int) -> list[tuple[int, int
 
 CACHE_ROOT = os.environ.get("OCR_SAM_RAY_CORPUS_DIR", "/tmp/ocr_sam_ray_corpus")
 
-# pages per scale tier (sf names mirror /root/testdata convention)
-PAGES_PER_SF = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 24000}
+# bump when generator output changes so stale caches are never read
+CORPUS_VERSION = "v3"
+
+# pages per scale tier (sf names mirror /root/testdata convention); bench
+# tiers use body_scale>1 (larger pages) so compute dominates fixed costs
+PAGES_PER_SF = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 36000}
+BODY_SCALE_PER_SF = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 10}
+CHECK_STRIDE_PER_SF = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8}
 
 
 def sf_name(sf_dir: str) -> str:
@@ -501,7 +519,7 @@ def sf_name(sf_dir: str) -> str:
 
 def corpus_paths(sf_dir: str) -> dict[str, str]:
     name = sf_name(sf_dir)
-    base = os.path.join(CACHE_ROOT, name)
+    base = os.path.join(CACHE_ROOT, CORPUS_VERSION, name)
     return {
         "pages": os.path.join(base, "pages"),  # directory of parquet shards
         "golden_pages": os.path.join(base, "golden_pages.parquet"),
@@ -520,7 +538,12 @@ def ensure_corpus(sf_dir: str, seed: int = 42) -> dict[str, str]:
         return paths
     name = sf_name(sf_dir)
     n_pages = PAGES_PER_SF.get(name, 2400)
-    pages_t, gp_t, gs_t, ge_t = generate_corpus(n_pages, seed=seed)
+    pages_t, gp_t, gs_t, ge_t = generate_corpus(
+        n_pages,
+        seed=seed,
+        body_scale=BODY_SCALE_PER_SF.get(name, 1),
+        check_stride=CHECK_STRIDE_PER_SF.get(name, 1),
+    )
     base = os.path.dirname(paths["golden_pages"])
     os.makedirs(base, exist_ok=True)
 

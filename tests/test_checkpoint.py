@@ -1,0 +1,90 @@
+"""Resume-equivalence property: killing after k shards and resuming must
+produce exactly the single-run output; completed shards are not reprocessed."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from ocr_sam_project_ray.pipelines.checkpoint import (
+    completed_shards, run_checkpointed,
+)
+from ocr_sam_project_ray.pipelines.extraction import PipelineConfig
+from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def files():
+    paths = ensure_corpus(SF)
+    return sorted(glob.glob(os.path.join(paths["pages"], "*.parquet")))
+
+
+def _read_out(out_dir):
+    df = (
+        pads.dataset(
+            glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")), format="parquet"
+        )
+        .to_table(columns=["doc_id", "extracted_text", "success", "confidence"])
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_full_run_writes_lineage_and_metrics(tmp_path, files):
+    out = str(tmp_path / "full")
+    metrics = run_checkpointed(files, out, PipelineConfig(dedup_partitions=2), n_shards=2)
+    assert metrics["shards_completed"] == 2
+    assert metrics["row_count"] > 0
+    assert metrics["error_count"] > 0  # malformed pages captured, not dropped
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+    recs = [
+        json.load(open(p))
+        for p in sorted(glob.glob(os.path.join(out, "lineage", "*.json")))
+    ]
+    assert [r["shard_id"] for r in recs] == ["00000", "00001"]
+    assert all(r["status"] == "completed" for r in recs)
+
+
+def test_resume_after_partial_run(tmp_path, files):
+    full_out = str(tmp_path / "single")
+    run_checkpointed(files, full_out, PipelineConfig(dedup_partitions=2), n_shards=2)
+    expected = _read_out(full_out)
+
+    # "crash" after the first shard: run over only the first shard's files
+    # by doing a full run then deleting shards 1,2 + their lineage
+    part_out = str(tmp_path / "resumed")
+    run_checkpointed(files, part_out, PipelineConfig(dedup_partitions=2), n_shards=2)
+    for sid in ("00001",):
+        os.remove(os.path.join(part_out, "lineage", f"{sid}.json"))
+        import shutil
+
+        shutil.rmtree(os.path.join(part_out, f"shard={sid}"))
+    assert completed_shards(part_out) == {"00000"}
+
+    # shard 0 must not be reprocessed: corrupt its data dir marker-free way —
+    # record mtime and assert unchanged after resume
+    probe = sorted(glob.glob(os.path.join(part_out, "shard=00000", "*.parquet")))[0]
+    mtime = os.path.getmtime(probe)
+
+    metrics = run_checkpointed(files, part_out, PipelineConfig(dedup_partitions=2), n_shards=2)
+    assert metrics["shards_completed"] == 2
+    assert os.path.getmtime(probe) == mtime  # skipped, not rewritten
+
+    resumed = _read_out(part_out)
+    pd.testing.assert_frame_equal(resumed, expected)
+
+
+def test_torn_shard_is_redone(tmp_path, files):
+    out = str(tmp_path / "torn")
+    run_checkpointed(files, out, PipelineConfig(dedup_partitions=2), n_shards=2)
+    expected = _read_out(out)
+    # simulate a torn write: shard dir present but lineage missing
+    os.remove(os.path.join(out, "lineage", "00001.json"))
+    metrics = run_checkpointed(files, out, PipelineConfig(dedup_partitions=2), n_shards=2)
+    assert metrics["shards_completed"] == 2
+    pd.testing.assert_frame_equal(_read_out(out), expected)
