@@ -155,8 +155,163 @@ def _q_batch_rollup(sf_dir: str):
     ].reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# training-data ops over the documents / embeddings test tables
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+
+    configure_data_context()
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_text_token_stats(sf_dir: str):
+    from ocr_sam_project_ray.ops.textstats import textstats_batch
+
+    ds = _docs(sf_dir).map_batches(textstats_batch, batch_format="pyarrow")
+    df = ds.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "sum_token_len", "punct_count",
+         "stopword_count_en", "passes_quality"]
+    ).to_pandas()
+    return df.reset_index(drop=True)
+
+
+def _q_text_lang_id(sf_dir: str):
+    from ocr_sam_project_ray.ops.textstats import textstats_batch
+
+    ds = _docs(sf_dir).map_batches(textstats_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "lang_pred"]).to_pandas().reset_index(drop=True)
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from ocr_sam_project_ray.ops.textstats import textstats_batch
+
+    ds = _docs(sf_dir).map_batches(textstats_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"]).to_pandas().reset_index(drop=True)
+
+
+def _q_dedup_docs_exact(sf_dir: str):
+    from ocr_sam_project_ray.ops.dedup_text import dedup_exact
+
+    ds = dedup_exact(_docs(sf_dir), num_partitions=4)
+    return ds.select_columns(["doc_id", "content_fp"]).to_pandas().reset_index(drop=True)
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    from ocr_sam_project_ray.ops.dedup_text import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.8).to_pandas().reset_index(drop=True)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from ocr_sam_project_ray.ops.dedup_text import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(_docs(sf_dir), threshold=0.7, num_partitions=4).to_pandas()
+    return df[["id_a", "id_b"]].reset_index(drop=True)
+
+
+def _q_simhash_docs(sf_dir: str):
+    from ocr_sam_project_ray.ops.dedup_text import simhash_table
+
+    return simhash_table(_docs(sf_dir)).to_pandas().reset_index(drop=True)
+
+
+def _q_multimodal_meta(sf_dir: str):
+    from ocr_sam_project_ray.ops.multimodal import decode_payloads, payloads_from_documents
+
+    ds = decode_payloads(payloads_from_documents(_docs(sf_dir)))
+    return ds.select_columns(["item_id", "n_bytes", "digest"]).to_pandas().reset_index(drop=True)
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+
+    configure_data_context()
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _knn_queries(sf_dir: str, n: int = 20):
+    import numpy as np
+
+    df = _embeddings(sf_dir).to_pandas()
+    q = df[df.vec_id < n].sort_values("vec_id")
+    return np.asarray(list(q.embedding), dtype=np.float64), list(q.vec_id)
+
+
+def _q_knn_cosine(sf_dir: str):
+    from ocr_sam_project_ray.ops.embed import knn_cosine
+
+    qm, qids = _knn_queries(sf_dir)
+    t = knn_cosine(_embeddings(sf_dir), qm, qids, k=10)
+    return t.to_pandas().reset_index(drop=True)
+
+
+def _q_knn_ivf(sf_dir: str):
+    from ocr_sam_project_ray.ops.embed import knn_ivf
+
+    qm, qids = _knn_queries(sf_dir)
+    t = knn_ivf(_embeddings(sf_dir), qm, qids, k=10)
+    return t.to_pandas().reset_index(drop=True)
+
+
+def _q_cosine_near_pairs(sf_dir: str):
+    from ocr_sam_project_ray.ops.embed import cosine_near_pairs
+
+    return (
+        cosine_near_pairs(_embeddings(sf_dir), threshold=0.4, max_id=400)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / windowed capability pipelines (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def _q_q1_pricing(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import q1_pricing_summary
+
+    return q1_pricing_summary(sf_dir)
+
+
+def _q_q3_top_orders(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import q3_top_orders
+
+    return q3_top_orders(sf_dir)
+
+
+def _q_nation_counts(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import nation_counts_join
+
+    return nation_counts_join(sf_dir)
+
+
+def _q_top_events(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import top_events
+
+    return top_events(sf_dir)
+
+
+def _q_events_hourly(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import events_hourly
+
+    return events_hourly(sf_dir)
+
+
+def _q_user_sessions(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import user_sessions
+
+    return user_sessions(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # extraction engine (synthetic page corpus; oracles = golden parquet)
         "extract_main_text": _q_extract_main_text,
         "extract_validate": _q_extract_validate,
         "extract_segments": _q_extract_segments,
@@ -166,6 +321,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metadata": _q_extract_metadata,
         "dedup_pages": _q_dedup_pages,
         "batch_rollup": _q_batch_rollup,
+        # training-data ops (documents/embeddings views; DuckDB recompute)
+        "text_token_stats": _q_text_token_stats,
+        "text_lang_id": _q_text_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_docs_exact": _q_dedup_docs_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "minhash_pairs": _q_minhash_pairs,        # rows-only (LSH not in SQL)
+        "simhash_docs": _q_simhash_docs,          # rows-only
+        "multimodal_meta": _q_multimodal_meta,
+        "knn_cosine": _q_knn_cosine,
+        "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
+        "cosine_near_pairs": _q_cosine_near_pairs,
+        # relational / windowed capabilities
+        "q1_pricing": _q_q1_pricing,
+        "q3_top_orders": _q_q3_top_orders,
+        "nation_counts": _q_nation_counts,
+        "top_events": _q_top_events,
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -227,4 +401,95 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN gp.success THEN 'completed' ELSE 'failed' END AS batch_status
             FROM read_parquet('{gp}') gp
         """,
+        **_ops_oracles(),
+    }
+
+
+def _ops_oracles() -> dict[str, str]:
+    """Oracles that RECOMPUTE the ops in DuckDB over the pre-registered
+    views (documents, embeddings, lineitem, ...) — fully independent of the
+    Ray implementations."""
+    from ocr_sam_project_ray.ops import relational as R
+    from ocr_sam_project_ray.ops.textstats import STOPWORDS, sql_lang_id, sql_n_tokens
+
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = "string_split_regex(trim(text), '\\s+')"
+    toks_lower = "string_split_regex(trim(lower(text)), '\\s+')"
+    n_tokens = sql_n_tokens("text")
+    sum_tok = (
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE "
+        f"CAST(list_sum(list_transform({toks}, t -> len(t))) AS BIGINT) END"
+    )
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - 2), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+    )
+
+    return {
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   {n_tokens} AS n_tokens,
+                   {sum_tok} AS sum_token_len,
+                   len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE
+                     len(list_filter({toks_lower}, t -> list_contains([{en}], t)))
+                   END AS stopword_count_en,
+                   ({n_tokens}) >= 10 AND ({sum_tok}) >= 3 * ({n_tokens})
+                     AS passes_quality
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id, {sql_lang_id('text')} AS lang_pred FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "dedup_docs_exact": """
+            SELECT doc_id, md5(text) AS content_fp FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH g AS (SELECT doc_id, {grams} AS s FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(floor(
+                     (len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+                     * 1000000) AS BIGINT) AS jaccard_ppm
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS item_id, strlen(text) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 20),
+                 t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings)
+            SELECT qid, vec_id,
+                   round(list_cosine_similarity(q.e, t.e), 6) AS sim
+            FROM q, t
+            QUALIFY row_number() OVER (
+                PARTITION BY qid
+                ORDER BY list_cosine_similarity(q.e, t.e) DESC, vec_id
+            ) <= 10
+        """,
+        "cosine_near_pairs": """
+            WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 400)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.e, b.e), 6) AS sim
+            FROM t a JOIN t b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        """,
+        "q1_pricing": R.SQL_Q1.format(cutoff=R.CUTOFF_DATE),
+        "q3_top_orders": R.SQL_Q3.format(segment=R.SEGMENT, cutoff=R.CUTOFF_DATE, k=10),
+        "nation_counts": R.SQL_NATION_COUNTS,
+        "top_events": R.SQL_TOP_EVENTS.format(k=20),
+        "events_hourly": R.SQL_EVENTS_HOURLY,
+        "user_sessions": R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US),
     }

@@ -325,10 +325,12 @@ def simhash_near_pairs(
     ds: Dataset, max_hamming: int = 8, id_col: str = "doc_id",
     text_col: str = "text", num_partitions: int = 4,
 ) -> Dataset:
-    """SimHash near-dup pairs: bucket by each of 4 16-bit chunks (a pair
-    within Hamming ≤ max_hamming<16 shares at least one exact chunk when
-    differing bits are spread; standard prefix-chunk LSH), compare within
-    buckets only."""
+    """SimHash near-dup pairs via 16-bit-chunk LSH: each doc lands in 4
+    buckets (one per chunk); only same-bucket docs are compared. Pigeonhole
+    GUARANTEES recall for Hamming ≤ 3 (4 chunks can't all be touched);
+    pairs with 4 ≤ d ≤ max_hamming are found iff at least one chunk is
+    untouched (high-probability for clustered bit flips, best-effort for
+    spread ones — raise the chunk count for a stronger guarantee)."""
     configure_data_context()
 
     def explode(batch: pa.Table) -> pa.Table:

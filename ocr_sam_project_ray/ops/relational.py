@@ -34,8 +34,13 @@ HOUR_US = 3_600_000_000
 
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """double dollars → exact int64 cents (same expression as the oracle:
-    CAST(round(x*100) AS BIGINT)) so distributed sums are order-independent."""
-    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+    CAST(round(x*100) AS BIGINT)) so distributed sums are order-independent.
+    round_mode 'half_towards_infinity' (= half away from zero) matches
+    DuckDB's round(); pyarrow's half-to-even default differs on exact .5 cents."""
+    return pc.cast(
+        pc.round(pc.multiply(col, 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
 
 
 def q1_pricing_summary(sf_dir: str, num_partitions: int = 4):
@@ -59,7 +64,10 @@ def q1_pricing_summary(sf_dir: str, num_partitions: int = 4):
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+                "qty": pc.cast(
+                    pc.round(batch["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
                 "base_cents": _cents(batch["l_extendedprice"]),
                 "disc_cents": _cents(disc_price),
                 "n": pa.array([1] * len(batch), pa.int64()),
@@ -91,9 +99,9 @@ def q1_pricing_summary(sf_dir: str, num_partitions: int = 4):
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff}'
 GROUP BY l_returnflag, l_linestatus
@@ -163,7 +171,7 @@ def q3_top_orders(sf_dir: str, k: int = 10, num_partitions: int = 4):
 
 SQL_Q3 = """
 SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -261,8 +269,8 @@ def events_hourly(sf_dir: str, num_partitions: int = 4):
 
 SQL_EVENTS_HOURLY = """
 SELECT user_id, epoch_us(ts) // 3600000000 AS window_id,
-       count(*) AS n_events,
-       sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY user_id, window_id ORDER BY user_id, window_id
 """
 
@@ -304,6 +312,6 @@ WITH gaps AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
 FROM gaps GROUP BY user_id ORDER BY user_id
 """

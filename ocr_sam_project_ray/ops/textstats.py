@@ -91,10 +91,19 @@ def rolling_fingerprint(text: str, window: int = 8, mod: int = (1 << 61) - 1) ->
 
 # --- map_batches stages ----------------------------------------------------
 
+STAT_COLUMNS = [
+    "n_chars", "n_tokens", "sum_token_len", "punct_count",
+    "stopword_count_en", "passes_quality", "lang_pred", "fingerprint",
+    "rolling_fp",
+]
+
+
 def textstats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
     rows = [quality_row(t) for t in texts]
-    out = batch
+    # input may already carry same-named columns (e.g. documents.n_chars) —
+    # ours replace them
+    out = batch.drop_columns([c for c in STAT_COLUMNS if c in batch.column_names])
     for name, typ in [
         ("n_chars", pa.int64()), ("n_tokens", pa.int64()),
         ("sum_token_len", pa.int64()), ("punct_count", pa.int64()),

@@ -1,0 +1,103 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_sam_project_ray.ops.dedup_text import (
+    dedup_exact, dedup_near_minhash, hamming64, jaccard, minhash_lsh_pairs,
+    minhash_signature, ngram_jaccard_pairs, simhash64, simhash_near_pairs,
+    word_ngrams,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_word_ngrams_and_jaccard():
+    a = word_ngrams("a b c d")
+    assert a == {("a", "b", "c"), ("b", "c", "d")}
+    assert word_ngrams("a b") == {("a", "b")}
+    assert word_ngrams("") == set()
+    assert jaccard({1, 2}, {2, 3}) == 1 / 3
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_minhash_identical_and_similar():
+    t = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    s1, s2 = minhash_signature(t), minhash_signature(t)
+    assert (s1 == s2).all()
+    near = t + " trece"
+    est = float((minhash_signature(t) == minhash_signature(near)).sum()) / 64
+    real = jaccard(word_ngrams(t), word_ngrams(near))
+    assert abs(est - real) < 0.35  # 64 perms → coarse but correlated
+    far = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    est_far = float((minhash_signature(t) == minhash_signature(far)).sum()) / 64
+    assert est_far < 0.2
+
+
+def test_simhash_properties():
+    t = "uno dos tres cuatro cinco"
+    assert simhash64(t) == simhash64(t)
+    assert hamming64(simhash64(t), simhash64(t)) == 0
+    assert hamming64(simhash64(t), simhash64(t + " seis")) <= 20
+    assert simhash64("") == 0
+
+
+def test_dedup_exact_keeps_min_id():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([5, 1, 3, 9], pa.int64()),
+                "text": pa.array(["same", "same", "other", "same"], pa.string()),
+            }
+        )
+    )
+    out = dedup_exact(ds, num_partitions=2).to_pandas().sort_values("doc_id")
+    assert list(out.doc_id) == [1, 3]
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_minhash_lsh_finds_seeded_near_dups(docs):
+    exact = ngram_jaccard_pairs(docs, threshold=0.8).to_pandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    assert len(exact_pairs) > 0  # testdata seeds near-duplicates
+    lsh = minhash_lsh_pairs(docs, threshold=0.7, num_partitions=2).to_pandas()
+    lsh_pairs = set(zip(lsh.id_a, lsh.id_b))
+    # LSH must recall the high-jaccard pairs (0.8+ pairs collide w.h.p.)
+    missed = exact_pairs - lsh_pairs
+    assert len(missed) <= max(1, len(exact_pairs) // 10), missed
+
+
+def test_simhash_near_pairs_on_docs(docs):
+    import pyarrow.parquet as pq
+
+    exact = ngram_jaccard_pairs(docs, threshold=0.9).to_pandas()
+    sim = simhash_near_pairs(docs, max_hamming=10, num_partitions=2).to_pandas()
+    sim_pairs = set(zip(sim.id_a, sim.id_b))
+    # guaranteed recall band: hamming ≤ 3 (see simhash_near_pairs docstring)
+    t = pq.read_table(f"{SF}/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    guaranteed = [
+        (a, b)
+        for a, b in zip(exact.id_a, exact.id_b)
+        if hamming64(simhash64(texts[a]), simhash64(texts[b])) <= 3
+    ]
+    assert len(guaranteed) > 0
+    for pair in guaranteed:
+        assert pair in sim_pairs, pair
+    # every reported pair honors the distance bound
+    assert (sim.hamming <= 10).all()
+
+
+def test_dedup_near_minhash_drops_losers(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.7, num_partitions=2).to_pandas()
+    kept = dedup_near_minhash(docs, threshold=0.7, num_partitions=2).to_pandas()
+    kept_ids = set(kept.doc_id)
+    for b in pairs.id_b:
+        assert b not in kept_ids
+    for a in set(pairs.id_a) - set(pairs.id_b):
+        assert a in kept_ids

@@ -1,0 +1,75 @@
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from ocr_sam_project_ray.ops.embed import cosine_near_pairs, knn_cosine, knn_ivf
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    E = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    return ids, E, En
+
+
+def _exact_topk(ref, q, k=10):
+    ids, _, En = ref
+    qn = q / np.linalg.norm(q)
+    sims = En @ qn
+    order = np.lexsort((ids, -sims))[:k]
+    return set(ids[order].tolist())
+
+
+def test_knn_cosine_matches_numpy(emb, ref):
+    ids, E, _ = ref
+    qm = E[:5]
+    out = knn_cosine(emb, qm, query_ids=ids[:5].tolist(), k=10).to_pandas()
+    assert len(out) == 50
+    for i in range(5):
+        got = set(out[out.qid == ids[i]].vec_id)
+        assert got == _exact_topk(ref, E[i]), i
+    # self is always the top hit with sim 1.0
+    top = out.sort_values(["qid", "sim"], ascending=[True, False]).groupby("qid").head(1)
+    assert (top.qid.values == top.vec_id.values).all()
+    assert (top.sim == 1.0).all()
+
+
+def test_knn_ivf_recall(emb, ref):
+    ids, E, _ = ref
+    qm = E[:10]
+    out = knn_ivf(emb, qm, query_ids=ids[:10].tolist(), k=10,
+                  n_centroids=8, n_probe=4).to_pandas()
+    recalls = []
+    for i in range(10):
+        got = set(out[out.qid == ids[i]].vec_id)
+        exact = _exact_topk(ref, E[i])
+        recalls.append(len(got & exact) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5  # probing half the centroids
+
+
+def test_cosine_near_pairs_exact(emb, ref):
+    ids, _, En = ref
+    out = cosine_near_pairs(emb, threshold=0.35, max_id=200).to_pandas()
+    mask = ids < 200
+    sub_ids = ids[mask]
+    sub = En[mask]
+    sims = sub @ sub.T
+    ia, ib = np.triu_indices(len(sub_ids), k=1)
+    sel = sims[ia, ib] >= 0.35
+    expected = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(sub_ids[ia[sel]], sub_ids[ib[sel]])
+    }
+    got = set(zip(out.id_a, out.id_b))
+    assert got == expected

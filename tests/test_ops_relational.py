@@ -1,0 +1,55 @@
+"""Relational pipelines vs in-process DuckDB (same SQL the driver oracle
+uses), at sf0.001 for speed."""
+
+import duckdb
+import pytest
+
+from ocr_sam_project_ray.ops import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for v in ("customer", "nation", "orders", "lineitem", "events"):
+        c.sql(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{SF}/{v}.parquet')")
+    return c
+
+
+def _cmp(got, sql, con, sort_cols):
+    exp = con.sql(sql).df()
+    g = got.sort_values(sort_cols).reset_index(drop=True)
+    e = exp.sort_values(sort_cols).reset_index(drop=True)
+    assert list(g.columns) == list(e.columns), (list(g.columns), list(e.columns))
+    assert len(g) == len(e)
+    for c in g.columns:
+        assert list(g[c]) == list(e[c]), c
+
+
+def test_q1(con):
+    _cmp(R.q1_pricing_summary(SF), R.SQL_Q1.format(cutoff=R.CUTOFF_DATE), con,
+         ["l_returnflag", "l_linestatus"])
+
+
+def test_q3(con):
+    _cmp(R.q3_top_orders(SF),
+         R.SQL_Q3.format(segment=R.SEGMENT, cutoff=R.CUTOFF_DATE, k=10), con,
+         ["l_orderkey"])
+
+
+def test_nation_counts(con):
+    _cmp(R.nation_counts_join(SF), R.SQL_NATION_COUNTS, con, ["n_name"])
+
+
+def test_top_events(con):
+    _cmp(R.top_events(SF), R.SQL_TOP_EVENTS.format(k=20), con, ["event_id"])
+
+
+def test_events_hourly(con):
+    _cmp(R.events_hourly(SF), R.SQL_EVENTS_HOURLY, con, ["user_id", "window_id"])
+
+
+def test_user_sessions(con):
+    _cmp(R.user_sessions(SF), R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US),
+         con, ["user_id"])

@@ -1,0 +1,68 @@
+import pyarrow as pa
+
+import ray.data
+
+from ocr_sam_project_ray.ops.multimodal import decode_payloads, payloads_from_documents
+from ocr_sam_project_ray.ops.textstats import (
+    fingerprint_md5, lang_id, quality_row, rolling_fingerprint, textstats_batch,
+    tokenize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tokenize():
+    assert tokenize("  a  b\tc ") == ["a", "b", "c"]
+    assert tokenize("") == []
+    assert tokenize("   ") == []
+
+
+def test_lang_id():
+    assert lang_id("the cat and the dog of the house") == "en"
+    assert lang_id("el perro y la casa de un amigo que se fue") == "es"
+    assert lang_id("der hund und die katze von dem haus") == "de"
+    assert lang_id("xyzzy plugh") == "und"
+    assert lang_id("") == "und"
+
+
+def test_quality_row():
+    q = quality_row("uno dos tres")
+    assert q["n_tokens"] == 3 and q["sum_token_len"] == 10
+    assert q["passes_quality"] is False  # < 10 tokens
+    long = " ".join(["palabra"] * 12)
+    assert quality_row(long)["passes_quality"] is True
+    assert quality_row("")["n_tokens"] == 0
+
+
+def test_fingerprints():
+    assert fingerprint_md5("abc") == "900150983cd24fb0d6963f7d28e17f72"
+    assert rolling_fingerprint("same text here") == rolling_fingerprint("same text here")
+    assert rolling_fingerprint("text a") != rolling_fingerprint("text b")
+    assert rolling_fingerprint("") == 0
+    # near-identical long texts share the same winnowed min-hash often, but
+    # determinism is the contract, not collision behavior
+    assert isinstance(rolling_fingerprint("x" * 100), int)
+
+
+def test_textstats_batch_over_documents():
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = ds.map_batches(textstats_batch, batch_format="pyarrow").to_pandas()
+    assert len(out) == 500
+    assert (out.n_tokens > 0).all()
+    assert set(out.lang_pred) <= {"de", "en", "es", "fr", "und"}
+    assert out.fingerprint.str.len().eq(32).all()
+
+
+def test_multimodal_decode_plumbing():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = decode_payloads(payloads_from_documents(docs)).to_pandas()
+    assert len(out) == 500
+    assert "payload" not in out.columns  # blobs dropped after decode
+    assert (out.decode_backend == "stub").all()  # no Pillow in container
+    assert (out.n_bytes > 0).all()
+    assert out.width.between(64, 255).all() and out.height.between(64, 255).all()
+    # deterministic across runs
+    out2 = decode_payloads(payloads_from_documents(docs)).to_pandas()
+    a = out.sort_values("item_id").reset_index(drop=True)
+    b = out2.sort_values("item_id").reset_index(drop=True)
+    assert a.equals(b)

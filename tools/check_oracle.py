@@ -43,6 +43,12 @@ def main():
     assert n >= 0
 
     con = duckdb.connect()
+    for view in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {view} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{view}.parquet')"
+        )
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
     for name, fn in qs.items():
