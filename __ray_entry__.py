@@ -131,6 +131,76 @@ def _q_extract_metadata(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_extract_spans_agg(sf_dir: str):
+    """Span extraction surface: per (doc_id, pattern field) match count and
+    '|'-joined match texts, in match order — recomputable by DuckDB
+    regexp_extract_all over the golden text."""
+    import pandas as pd
+
+    ds = _annotated(sf_dir)
+    df = ds.select_columns(["doc_id", "spans", "success"]).to_pandas()
+    rows = []
+    for _, r in df[df.success].iterrows():
+        by_field: dict[str, list[str]] = {}
+        for s in r.spans:
+            by_field.setdefault(s["field"], []).append(s["text"])
+        for field, texts in by_field.items():
+            rows.append(
+                {
+                    "doc_id": r.doc_id,
+                    "field": field,
+                    "n_spans": len(texts),
+                    "joined": "|".join(texts),
+                }
+            )
+    return pd.DataFrame(rows, columns=["doc_id", "field", "n_spans", "joined"])
+
+
+def _q_extract_fecha_iso(sf_dir: str):
+    """Date-normalizer surface (crm_integrator/app.py:692-742 parity):
+    document date string → canonical ISO date."""
+    from ocr_sam_project_ray.functions.textops import parse_date_es
+
+    ds = _annotated(sf_dir)
+    df = ds.select_columns(["doc_id", "fecha", "success"]).to_pandas()
+    out = df[df.success][["doc_id", "fecha"]].copy()
+    out["fecha_iso"] = [parse_date_es(f, nullable=False) for f in out.fecha]
+    return out[["doc_id", "fecha_iso"]].reset_index(drop=True)
+
+
+def _q_project_names(sf_dir: str):
+    """Name-split projection, flavor A (ocr_processor/app.py:499-503)."""
+    from ocr_sam_project_ray.pipelines.extraction import project_persons
+
+    key = ("persons", sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = project_persons(_annotated(sf_dir)).materialize()
+    df = _CACHE[key].to_pandas()
+    return df[
+        ["doc_id", "secuencia", "nombre", "apellido_paterno",
+         "apellido_materno", "nombre_segundo"]
+    ].reset_index(drop=True)
+
+
+def _q_text_scores(sf_dir: str):
+    """Deterministic text-analysis scorer (the reference's complementary
+    analyzer seam, mistral_service.py:43-273 → stages/scorer.py)."""
+    from ocr_sam_project_ray.stages.scorer import TextScorer
+
+    ds = _annotated(sf_dir).map_batches(
+        TextScorer, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4), num_cpus=1,
+    )
+    df = ds.select_columns(
+        ["doc_id", "summary", "risk_keyword_count", "legal_density_ppm", "success"]
+    ).to_pandas()
+    return (
+        df[df.success]
+        [["doc_id", "summary", "risk_keyword_count", "legal_density_ppm"]]
+        .reset_index(drop=True)
+    )
+
+
 def _q_dedup_pages(sf_dir: str):
     """Exact url dedup over the raw pages table (keep latest warc_ts) —
     oracle is an independent DuckDB window-function dedup."""
@@ -319,6 +389,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_entities": _q_extract_entities,
         "extract_montos": _q_extract_montos,
         "extract_metadata": _q_extract_metadata,
+        "extract_spans_agg": _q_extract_spans_agg,
+        "extract_fecha_iso": _q_extract_fecha_iso,
+        "project_names": _q_project_names,
+        "text_scores": _q_text_scores,
         "dedup_pages": _q_dedup_pages,
         "batch_rollup": _q_batch_rollup,
         # training-data ops (documents/embeddings views; DuckDB recompute)
@@ -401,8 +475,124 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN gp.success THEN 'completed' ELSE 'failed' END AS batch_status
             FROM read_parquet('{gp}') gp
         """,
+        "extract_spans_agg": _spans_oracle(gs),
+        "extract_fecha_iso": _fecha_oracle(gs),
+        "text_scores": _scores_oracle(gs),
+        "project_names": f"""
+            WITH p AS (SELECT doc_id, seq AS secuencia,
+                              string_split(nombre_completo, ' ') AS parts
+                       FROM read_parquet('{ge}'))
+            SELECT doc_id, secuencia,
+                   parts[1] AS nombre,
+                   CASE WHEN len(parts) > 1 THEN parts[2] ELSE '' END AS apellido_paterno,
+                   CASE WHEN len(parts) > 2 THEN parts[3] ELSE '' END AS apellido_materno,
+                   CASE WHEN len(parts) > 3
+                        THEN array_to_string(parts[4:], ' ') ELSE '' END AS nombre_segundo
+            FROM p
+        """,
         **_ops_oracles(),
     }
+
+
+# regexes rendered for RE2 (DuckDB): identical semantics to
+# functions/patterns.PANAMA_PATTERNS on this corpus (ASCII month names, so
+# the RE2-\\w-is-ASCII difference is inert; verified by the value-hash match)
+_RE2_PATTERNS = {
+    "cedula": r"\d{1,2}-\d{1,4}-\d{1,4}",
+    "ruc": r"\d{1,3}-\d{1,6}-\d{1,2}-?\d{0,2}",
+    "oficio_number": r"(?i)(?:JE-|DJ-|No\.?)\s*\d{1,6}(?:-\d{4})?",
+    "phone": r"\d{3}-\d{4}",
+    "money": r"(?i)B/\.?\s*[\d,]+\.?\d{0,2}",
+    "date_es": r"(?i)\d{1,2}\s+de\s+\w+\s+de\s+\d{4}",
+}
+
+
+def _spans_oracle(gs: str) -> str:
+    parts = []
+    for field, pat in _RE2_PATTERNS.items():
+        body = pat.replace("'", "''")
+        full = rf"\b(?:{body})\b" if field != "oficio_number" else rf"\b(?:{body})\b"
+        # \b wrapper mirrors the Python patterns' boundaries
+        parts.append(f"""
+            SELECT doc_id, '{field}' AS field,
+                   len(regexp_extract_all(extracted_text, '{full}')) AS n_spans,
+                   array_to_string(regexp_extract_all(extracted_text, '{full}'), '|') AS joined
+            FROM read_parquet('{gs}')
+        """)
+    union = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({union}) WHERE n_spans > 0"
+
+
+def _scores_oracle(gs: str) -> str:
+    from ocr_sam_project_ray.functions.classify import HIGH_PRIORITY_KEYWORDS
+
+    kw = "|".join(HIGH_PRIORITY_KEYWORDS)
+    covered_terms = " + ".join(
+        f"COALESCE(list_sum(list_transform(regexp_extract_all(extracted_text, "
+        f"'\\b(?:{_RE2_PATTERNS[f]})\\b'), m -> len(m))), 0)"
+        for f in _RE2_PATTERNS
+    )
+    return f"""
+        WITH c AS (
+          SELECT doc_id, extracted_text,
+                 ({covered_terms}) AS covered
+          FROM read_parquet('{gs}')
+        )
+        SELECT doc_id,
+               substr(trim(regexp_replace(extracted_text, '\\s+', ' ', 'g')), 1, 160)
+                 AS summary,
+               CAST(len(regexp_extract_all(lower(extracted_text), '{kw}')) AS BIGINT)
+                 AS risk_keyword_count,
+               CASE WHEN length(extracted_text) = 0 THEN 0
+                    ELSE CAST(floor(covered * 1000000.0 / length(extracted_text)) AS BIGINT)
+               END AS legal_density_ppm
+        FROM c
+    """
+
+
+_MONTH_CASE = " ".join(
+    f"WHEN '{m}' THEN '{n:02d}'"
+    for n, m in enumerate(
+        ["enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+         "agosto", "septiembre", "octubre", "noviembre", "diciembre"],
+        start=1,
+    )
+)
+
+
+def _fecha_oracle(gs: str) -> str:
+    date_es = r"\d{1,2}\s+de\s+\w+\s+de\s+\d{4}"
+    numeric = r"\d{1,2}[/\-]\d{1,2}[/\-]\d{4}"
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 COALESCE(
+                   NULLIF(regexp_extract(extracted_text, '{date_es}'), ''),
+                   NULLIF(regexp_extract(extracted_text, '{numeric}'), '')
+                 ) AS fecha
+          FROM read_parquet('{gs}')
+        ), s AS (
+          SELECT doc_id, fecha, string_split(lower(trim(fecha)), ' ') AS p
+          FROM f
+        )
+        SELECT doc_id,
+          CASE
+            WHEN fecha IS NULL THEN '1900-01-01'
+            WHEN contains(lower(fecha), ' de ') THEN
+              COALESCE(
+                CASE WHEN len(p) >= 5 AND p[2] = 'de' AND p[4] = 'de'
+                          AND (CASE p[3] {_MONTH_CASE} ELSE NULL END) IS NOT NULL
+                          AND regexp_full_match(p[5], '\\d+')
+                     THEN p[5] || '-' || (CASE p[3] {_MONTH_CASE} END) || '-' || lpad(p[1], 2, '0')
+                END,
+                '1900-01-01')
+            ELSE COALESCE(
+                   strftime(try_strptime(fecha, '%d/%m/%Y'), '%Y-%m-%d'),
+                   strftime(try_strptime(fecha, '%d-%m-%Y'), '%Y-%m-%d'),
+                   '1900-01-01')
+          END AS fecha_iso
+        FROM s
+    """
 
 
 def _ops_oracles() -> dict[str, str]:

@@ -87,13 +87,33 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     n_docs = ray.data.read_parquet(os.path.join(out_dir, "extracted")).count()
 
-    # dedup only (the wide op in isolation)
+    if os.environ.get("BENCH_HEADLINE_ONLY"):
+        result = {
+            "metric": "extraction_pipeline_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_number(sf_dir),
+            "num_cpus": num_cpus,
+            "docs_out": n_docs,
+            "docs_per_sec": round(n_docs / headline, 1) if headline > 0 else None,
+        }
+        ray.shutdown()
+        return result
+
+    # both dedup strategies in isolation: the broadcast winner pre-pass
+    # (production path) vs the full hash-shuffle (fallback), 2 columns each
+    from ocr_sam_project_ray.stages.dedup import compute_dup_winners
+
+    t0 = time.time()
+    compute_dup_winners(paths["pages"])
+    queries["dedup_winners_pass"] = round(time.time() - t0, 3)
     t0 = time.time()
     dedup_by_url(
         ray.data.read_parquet(paths["pages"], columns=["url", "warc_ts"]),
         num_partitions=cfg.dedup_partitions,
     ).count()
-    queries["dedup_only"] = round(time.time() - t0, 3)
+    queries["dedup_shuffle"] = round(time.time() - t0, 3)
 
     # persons projection + batch rollup on top of a cached annotated dataset
     annotated = run_extraction(sf_dir, cfg).materialize()
@@ -125,7 +145,8 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ensure_corpus(sf_dir)
 
     def child(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -1,0 +1,92 @@
+"""CLI entry point — the ``ray job submit`` surface.
+
+    ray job submit -- python -m ocr_sam_project_ray.cli run \
+        --sf-dir /root/testdata/sf0.1 --out /tmp/extract_out
+
+    python -m ocr_sam_project_ray.cli resume --sf-dir ... --out ...   # checkpointed
+
+Owns the Ray session (guarded init; library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_run(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.extraction import PipelineConfig, run_extraction
+    from .pipelines.metrics import stage_metrics
+
+    cfg = PipelineConfig(dedup_partitions=args.partitions)
+    t0 = time.time()
+    ds = run_extraction(args.sf_dir, cfg)
+    ds.write_parquet(args.out)
+    wall = time.time() - t0
+    summary = {
+        "out": args.out,
+        "wall_time_s": round(wall, 2),
+        "stats": stage_metrics(ds),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_resume(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.checkpoint import run_checkpointed
+    from .pipelines.extraction import PipelineConfig
+    from .sources.synthetic import ensure_corpus
+
+    paths = ensure_corpus(args.sf_dir)
+    files = sorted(glob.glob(os.path.join(paths["pages"], "*.parquet")))
+    metrics = run_checkpointed(
+        files, args.out, PipelineConfig(dedup_partitions=args.partitions),
+        n_shards=args.shards,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ocr_sam_project_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("run", cmd_run), ("resume", cmd_resume)]:
+        sp = sub.add_parser(name)
+        sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--num-cpus", type=int, default=None)
+        sp.add_argument("--partitions", type=int, default=16)
+        if name == "resume":
+            sp.add_argument("--shards", type=int, default=8)
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,20 +1,22 @@
 """The flagship extraction pipeline (SURVEY.md §3.4 lifecycle)::
 
+    (pre-pass) winner map from column-pruned (url, warc_ts)      [§2.6 dedup]
     read_parquet(pages)
-      → map_batches(validate)                 stateless tasks   [M1,M7,M8]
-      → dedup_by_url                          hash shuffle      [§2.6]
-      → map_batches(MainContentExtractor)     actor pool        [M9,M10]
-      → map_batches(segment)                  flat map          [M2-M8]
-      → map_batches(SpanAnnotator)            actor pool        [M11-M14,M21,M24]
-      [→ map_batches(project_persons)         stateless         [M15-M20]]
+      → map_batches(validate)                 stateless, Arrow   [M1,M7,M8]
+      → map_batches(winner filter)            broadcast dedup    [§2.6]
+      → map_batches(extract+segment+annotate) fused heavy stage  [M2-M15,M21,M24]
+      [→ map_batches(project_persons)         stateless          [M16-M20]]
 
-Everything is lazy/streaming; the only wide operation is the url-dedup hash
-repartition. The ``html`` binary column is dropped at the extract stage.
+Fully streaming — with broadcast dedup (the default) there is NO payload
+shuffle anywhere; parse overlaps read with backpressure. The ``html``
+binary column is dropped inside the fused stage. Alternates via
+PipelineConfig: shuffle dedup (any duplicate distribution), unfused
+stages, actor pools for stateful kernels, size-bucket repartition.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import ray.data
