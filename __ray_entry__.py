@@ -379,6 +379,12 @@ def _q_user_sessions(sf_dir: str):
     return user_sessions(sf_dir)
 
 
+def _q_events_asof_orders(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import events_asof_orders
+
+    return events_asof_orders(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (synthetic page corpus; oracles = golden parquet)
@@ -414,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": _q_top_events,
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
+        "events_asof_orders": _q_events_asof_orders,
     }
 
 
@@ -682,4 +689,5 @@ def _ops_oracles() -> dict[str, str]:
         "top_events": R.SQL_TOP_EVENTS.format(k=20),
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "user_sessions": R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US),
+        "events_asof_orders": R.SQL_EVENTS_ASOF,
     }

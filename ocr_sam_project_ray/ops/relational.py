@@ -315,3 +315,92 @@ WITH gaps AS (
 SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events
 FROM gaps GROUP BY user_id ORDER BY user_id
 """
+
+
+def events_asof_orders(sf_dir: str, num_partitions: int = 4):
+    """As-of join (custom operator — Ray Data has no native as-of):
+    each event joins the LATEST order of the same user with
+    o_orderdate <= ts. Implementation: tag + union both sides, hash-group
+    by the key, and run pandas merge_asof inside map_groups over the
+    ts-sorted group — the documented partitioning assumption is that one
+    key's rows fit one group. Orders are pre-deduplicated to one per
+    (custkey, orderdate) (max orderkey) so ties are deterministic.
+    Oracle: DuckDB ASOF LEFT JOIN."""
+    configure_data_context()
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["user_id"],
+                "ts": pc.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+                "orderkey": pa.array([-1] * len(batch), pa.int64()),
+                "role": pa.array(["e"] * len(batch), pa.string()),
+            }
+        )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch["o_custkey"],
+                "ts": pc.cast(batch["o_orderdate"], pa.int64()),
+                "event_id": pa.array([-1] * len(batch), pa.int64()),
+                "orderkey": batch["o_orderkey"],
+                "role": pa.array(["o"] * len(batch), pa.string()),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def asof_group(g):
+        import pandas as pd
+
+        ev = g[g.role == "e"][["event_id", "ts", "key"]].sort_values("ts", kind="mergesort")
+        od = g[g.role == "o"][["ts", "orderkey"]]
+        if od.empty:
+            out = ev.copy()
+            out["last_orderkey"] = -1
+        else:
+            # one order per (key, date): keep max orderkey (deterministic)
+            od = (
+                od.sort_values(["ts", "orderkey"])
+                .groupby("ts", as_index=False)
+                .last()
+                .sort_values("ts")
+            )
+            out = pd.merge_asof(ev, od, on="ts", direction="backward")
+            out["last_orderkey"] = out["orderkey"].fillna(-1).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].astype("int64"),
+                "user_id": out["key"].astype("int64"),
+                "last_orderkey": out["last_orderkey"].astype("int64"),
+            }
+        )
+
+    out = both.groupby("key", num_partitions=num_partitions).map_groups(
+        asof_group, batch_format="pandas"
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+SQL_EVENTS_ASOF = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id,
+       COALESCE(o.o_orderkey, -1) AS last_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""

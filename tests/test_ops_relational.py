@@ -53,3 +53,7 @@ def test_events_hourly(con):
 def test_user_sessions(con):
     _cmp(R.user_sessions(SF), R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US),
          con, ["user_id"])
+
+
+def test_events_asof_orders(con):
+    _cmp(R.events_asof_orders(SF), R.SQL_EVENTS_ASOF, con, ["event_id"])
