@@ -385,6 +385,25 @@ def _q_events_asof_orders(sf_dir: str):
     return events_asof_orders(sf_dir)
 
 
+def _q_distinct_event_types(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import distinct_event_types
+
+    return distinct_event_types(sf_dir)
+
+
+def _q_events_stats_by_type(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import events_stats_by_type
+
+    return events_stats_by_type(sf_dir)
+
+
+def _q_sample_docs(sf_dir: str):
+    from ocr_sam_project_ray.ops.textstats import sample_by_content_hash
+
+    ds = sample_by_content_hash(_docs(sf_dir))
+    return ds.select_columns(["doc_id"]).to_pandas().reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (synthetic page corpus; oracles = golden parquet)
@@ -421,6 +440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "events_asof_orders": _q_events_asof_orders,
+        "distinct_event_types": _q_distinct_event_types,
+        "events_stats_by_type": _q_events_stats_by_type,
+        "sample_docs": _q_sample_docs,
     }
 
 
@@ -690,4 +712,10 @@ def _ops_oracles() -> dict[str, str]:
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "user_sessions": R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US),
         "events_asof_orders": R.SQL_EVENTS_ASOF,
+        "distinct_event_types": R.SQL_DISTINCT_EVENT_TYPES,
+        "events_stats_by_type": R.SQL_EVENTS_STATS,
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+        """,
     }

@@ -158,7 +158,11 @@ def _spin_ceiling(lo: int, hi: int) -> float:
             p.map(_spin, [20_000_000] * nproc)
         return time.time() - t0
 
-    t_lo, t_hi = run(lo), run(hi)
+    # best-of-3 per level: the calibration itself is load-sensitive; taking
+    # the MAX resulting ceiling is conservative (it shrinks the normalized
+    # efficiency, never inflates it)
+    t_lo = min(run(lo) for _ in range(3))
+    t_hi = min(run(hi) for _ in range(3))
     return min(1.0, t_lo / t_hi)
 
 
@@ -204,7 +208,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         # better proxy for N→4N MULTI-NODE scaling, where added nodes bring
         # their own cores/bandwidth/disks
         "hw_ceiling": round(ceiling, 3),
-        "value_normalized": round(eff / ceiling, 3) if eff and ceiling else None,
+        "value_normalized": (
+            round(min(1.0, eff / ceiling), 3) if eff and ceiling else None
+        ),
     }
 
 

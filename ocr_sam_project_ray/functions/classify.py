@@ -67,20 +67,23 @@ HIGH_PRIORITY_KEYWORDS = [
 ]
 
 
-def classify_text(text: str) -> tuple[int, str, str, str]:
-    """First-match keyword classification → (id, label, tramite, departamento)."""
-    low = (text or "").lower()
+def classify_text(text: str, low: str = None) -> tuple[int, str, str, str]:
+    """First-match keyword classification → (id, label, tramite, departamento).
+    Pass ``low`` (precomputed ``text.lower()``) to avoid re-lowering large texts."""
+    if low is None:
+        low = (text or "").lower()
     for kw, type_id in TRIGGERS:
         if kw in low:
             return TAXONOMY_BY_ID[type_id]
     return UNCLASSIFIED
 
 
-def matched_keywords(text: str) -> list[str]:
+def matched_keywords(text: str, low: str = None) -> list[str]:
     """All trigger keywords present in the text, in trigger-table order
     (deduplicated) — feeds the ``palabras_clave_encontradas`` analog column
     (ocr_service.py:277-281 schema field)."""
-    low = (text or "").lower()
+    if low is None:
+        low = (text or "").lower()
     seen: list[str] = []
     for kw, _ in TRIGGERS:
         if kw in low and kw not in seen:

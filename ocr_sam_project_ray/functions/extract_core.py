@@ -311,11 +311,12 @@ def derive_confidence(
 def annotate_segment(text: str) -> dict[str, Any]:
     """Full annotation of one segment's extracted text → flat dict of the
     output columns (schema assembled by the stage wrapper)."""
+    low = text.lower()
     info = extract_basic_info(text)
     fecha = extract_fecha(text)
     entities = extract_entities(text)
-    type_id, label, tramite, departamento = classify_text(text)
-    keywords = matched_keywords(text)
+    type_id, label, tramite, departamento = classify_text(text, low=low)
+    keywords = matched_keywords(text, low=low)
     spans = extract_spans(text)
     monto_total = float(sum(e["monto_numerico"] for e in entities))
 
@@ -341,7 +342,7 @@ def annotate_segment(text: str) -> dict[str, Any]:
         "entities": entities,
         "n_entities": len(entities),
         "monto_total": monto_total,
-        "should_have_persons": P.should_have_persons(text),
+        "should_have_persons": P.should_have_persons(text, low=low),
         "confidence_score": validation["confidence_score"] if validation else 0.0,
         "validation_passed": bool(validation and validation["validation_passed"]),
         "confidence": confidence,

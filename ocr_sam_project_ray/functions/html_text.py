@@ -97,7 +97,8 @@ class _BlockParser(HTMLParser):
         if self._skip_depth:
             return
         if tag in _BREAK_TAGS:
-            self._flush()
+            if self._parts:  # guard: _flush call overhead dominates hot loop
+                self._flush()
         elif tag in _CELL_TAGS:
             if self._in_row and self._row_has_cell:
                 self._parts.append(" | ")
@@ -105,7 +106,8 @@ class _BlockParser(HTMLParser):
         elif tag == "a":
             self._link_depth += 1
         elif tag in _BLOCK_TAGS:
-            self._flush()
+            if self._parts:
+                self._flush()
             if tag == "tr":
                 self._in_row = True
                 self._row_has_cell = False
@@ -119,7 +121,8 @@ class _BlockParser(HTMLParser):
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
         elif tag in _BLOCK_TAGS:
-            self._flush()
+            if self._parts:
+                self._flush()
             if tag == "tr":
                 self._in_row = False
 
@@ -134,12 +137,138 @@ class _BlockParser(HTMLParser):
             self._link_parts.append(data)
 
 
-def parse_paragraphs(html: str) -> list[Paragraph]:
+# ---------------------------------------------------------------------------
+# Fast tokenizer path
+# ---------------------------------------------------------------------------
+#
+# The block classifier never reads tag ATTRIBUTES, so a single compiled-regex
+# tokenizer that skips attribute parsing entirely is ~2-3× faster than
+# html.parser's state machine. The stdlib parser remains the REFERENCE
+# implementation (``parse_paragraphs_stdlib``); equality of the two over the
+# whole synthetic corpus and the handcrafted edge cases is asserted by
+# tests/test_html_text.py. Raw-text elements (script/style/…) need no special
+# casing here: they are in _SKIP_TAGS, and the handlers ignore every event
+# while _skip_depth > 0, which reproduces html.parser's CDATA suppression for
+# well-formed raw-text content.
+#
+# Set OCR_SAM_RAY_STDLIB_HTML=1 to force the stdlib parser at runtime.
+
+_TOKEN = re.compile(
+    r"<!--.*?-->"                       # comments
+    r"|<!\[CDATA\[.*?\]\]>"             # CDATA blocks
+    r"|<![^>]*>"                        # doctype / declarations
+    r"|<\?[^>]*>"                       # processing instructions
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)"  # (1) closing? (2) tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"    # (3) attributes (ignored)
+    r"(/?)\s*>",                            # (4) self-closing?
+    re.DOTALL,
+)
+
+import html as _html_mod
+import os as _os
+
+_FORCE_STDLIB = bool(_os.environ.get("OCR_SAM_RAY_STDLIB_HTML"))
+
+
+def _fast_parse(html: str) -> list[Paragraph]:
+    """Single-function tokenizer + block state machine (no per-event method
+    dispatch). Bit-for-bit equivalent to _BlockParser on the corpus — the
+    equality is asserted in tests over every synthetic page."""
+    paragraphs: list[Paragraph] = []
+    parts: list[str] = []
+    link_parts: list[str] = []
+    link_depth = 0
+    skip_depth = 0
+    in_row = False
+    row_has_cell = False
+    unescape = _html_mod.unescape
+    ws_sub = _WS.sub
+
+    def flush() -> None:
+        nonlocal parts, link_parts
+        text = ws_sub(" ", "".join(parts)).strip()
+        link_text = ws_sub(" ", "".join(link_parts)).strip()
+        parts = []
+        link_parts = []
+        if text:
+            paragraphs.append(Paragraph(text, len(link_text)))
+
+    pos = 0
+    for m in _TOKEN.finditer(html):
+        start = m.start()
+        if start > pos and not skip_depth:
+            text = html[pos:start]
+            if "&" in text:
+                text = unescape(text)
+            parts.append(text)
+            if link_depth:
+                link_parts.append(text)
+        pos = m.end()
+        name = m.group(2)
+        if name is None:
+            continue  # comment / doctype / PI
+        name = name.lower()
+        if m.group(1):  # end tag
+            if name in _SKIP_TAGS:
+                if skip_depth:
+                    skip_depth -= 1
+                continue
+            if skip_depth:
+                continue
+            if name == "a":
+                if link_depth:
+                    link_depth -= 1
+            elif name in _BLOCK_TAGS:
+                if parts:
+                    flush()
+                if name == "tr":
+                    in_row = False
+        else:  # start tag (html.parser maps self-closing to starttag too)
+            if name in _SKIP_TAGS:
+                skip_depth += 1
+                continue
+            if skip_depth:
+                continue
+            if name in _BREAK_TAGS:
+                if parts:
+                    flush()
+            elif name in _CELL_TAGS:
+                if in_row and row_has_cell:
+                    parts.append(" | ")
+                row_has_cell = True
+            elif name == "a":
+                link_depth += 1
+            elif name in _BLOCK_TAGS:
+                if parts:
+                    flush()
+                if name == "tr":
+                    in_row = True
+                    row_has_cell = False
+    if pos < len(html) and not skip_depth:
+        text = html[pos:]
+        if "&" in text:
+            text = unescape(text)
+        parts.append(text)
+        if link_depth:
+            link_parts.append(text)
+    if parts:
+        flush()
+    return paragraphs
+
+
+def parse_paragraphs_stdlib(html: str) -> list[Paragraph]:
+    """Reference implementation on html.parser (the parity baseline)."""
     parser = _BlockParser()
     parser.feed(html)
     parser.close()
     parser._flush()
     return parser.paragraphs
+
+
+def parse_paragraphs(html: str) -> list[Paragraph]:
+    if _FORCE_STDLIB:
+        return parse_paragraphs_stdlib(html)
+    return _fast_parse(html)
 
 
 def classify_paragraphs(paragraphs: list[Paragraph]) -> None:

@@ -148,7 +148,8 @@ def has_config_block(text: str) -> bool:
     return any(k in low for k in CONFIG_INDICATORS)
 
 
-def should_have_persons(text: str) -> bool:
+def should_have_persons(text: str, low: str = None) -> bool:
     """True iff any table indicator matches (post_ocr_validator.py:77-96)."""
-    low = text.lower()
+    if low is None:
+        low = text.lower()
     return any(p.search(low) for p in TABLE_INDICATORS)

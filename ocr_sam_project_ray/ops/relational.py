@@ -404,3 +404,68 @@ FROM events e ASOF LEFT JOIN o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 ORDER BY e.event_id
 """
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct values via Dataset.unique (a shuffle-backed set op)."""
+    import pandas as pd
+
+    configure_data_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    values = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": values})
+
+
+SQL_DISTINCT_EVENT_TYPES = """
+SELECT DISTINCT event_type FROM events ORDER BY event_type
+"""
+
+
+def events_stats_by_type(sf_dir: str, num_partitions: int = 4):
+    """Per-type count / exact min / exact max / cent-sum — Min and Max
+    select existing doubles, so they hash exactly; mean is intentionally
+    excluded (float accumulation is order-dependent)."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "value": batch["value"].to_pylist(),
+                "cents": _cents(batch["value"]).to_pylist(),
+            }
+        )
+        agg = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), vmin=("value", "min"), vmax=("value", "max"),
+            cents=("cents", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=num_partitions)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("vmin", alias_name="min_value"),
+            Max("vmax", alias_name="max_value"),
+            Sum("cents", alias_name="value_cents"),
+        )
+    )
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -147,3 +147,26 @@ def sql_lang_id(col: str) -> str:
     return (
         f"CASE WHEN trim({col}) = '' OR {g} = 0 THEN 'und'\n{whens}\nELSE 'und' END"
     )
+
+
+def sample_by_content_hash(ds, fraction_sixteenths: int = 4,
+                           text_col: str = "text"):
+    """Deterministic content-hash sampling: keep rows whose md5(text) first
+    hex digit < fraction_sixteenths (4/16 = 25%). Unlike seeded random
+    sampling this is reproducible across engines and partitionings — the
+    standard trick for stable corpus subsampling at scale; the SQL oracle
+    recomputes it exactly."""
+    import hashlib
+
+    import pyarrow as pa
+
+    allowed = set("0123456789abcdef"[:fraction_sixteenths])
+
+    def f(batch: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest()[0] in allowed
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -504,11 +504,11 @@ def split_offsets_by_url(pages_t: pa.Table, n_files: int) -> list[tuple[int, int
 CACHE_ROOT = os.environ.get("OCR_SAM_RAY_CORPUS_DIR", "/tmp/ocr_sam_ray_corpus")
 
 # bump when generator output changes so stale caches are never read
-CORPUS_VERSION = "v3"
+CORPUS_VERSION = "v5"
 
 # pages per scale tier (sf names mirror /root/testdata convention); bench
 # tiers use body_scale>1 (larger pages) so compute dominates fixed costs
-PAGES_PER_SF = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 36000}
+PAGES_PER_SF = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 72000}
 BODY_SCALE_PER_SF = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 10}
 CHECK_STRIDE_PER_SF = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8}
 

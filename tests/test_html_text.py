@@ -75,3 +75,37 @@ def test_link_density_math():
 def test_determinism():
     html = _doc(f"<p>{LONG}</p><table><tr><td>a</td><td>b</td></tr></table>")
     assert extract_main_text(html) == extract_main_text(html)
+
+
+def test_fast_parser_matches_stdlib_reference():
+    """The inlined fast tokenizer must be byte-identical to the stdlib
+    html.parser reference implementation — over every synthetic page and
+    the handcrafted edge cases."""
+    from ocr_sam_project_ray.functions.html_text import (
+        parse_paragraphs, parse_paragraphs_stdlib,
+    )
+    from ocr_sam_project_ray.sources.synthetic import generate_corpus
+
+    def text_of(paras):
+        classify_paragraphs(paras)
+        return "\n".join(p.text for p in paras if p.label == "good")
+
+    pages, *_ = generate_corpus(120, seed=7, check=False)
+    for h in pages["html"].to_pylist():
+        if not h:
+            continue
+        s = h.decode("utf-8", errors="replace")
+        assert text_of(parse_paragraphs(s)) == text_of(parse_paragraphs_stdlib(s))
+
+    cases = [
+        "<p>a &amp; b</p><p>" + "x" * 60 + "</p>",
+        "<!-- c --><div><p>hola</p><br/><p>" + "y" * 60 + "</p></div>",
+        "<script>var s = '<p>no</p>';</script><p>" + "z" * 60 + "</p>",
+        "<table><tr><td>a</td><td>b</td></tr></table><p>" + "w" * 60 + "</p>",
+        '<a href="/x">link</a><p>' + "v" * 60 + "</p>",
+        "<P>UPPER TAGS</P><p>" + "u" * 60 + "</p>",
+        "<![CDATA[ <p>hidden</p> ]]><p>" + "t" * 60 + "</p>",
+    ]
+    for s in cases:
+        doc = f"<!DOCTYPE html><html><head></head><body>{s}</body></html>"
+        assert text_of(parse_paragraphs(doc)) == text_of(parse_paragraphs_stdlib(doc)), s
