@@ -404,6 +404,37 @@ def _q_sample_docs(sf_dir: str):
     return ds.select_columns(["doc_id"]).to_pandas().reset_index(drop=True)
 
 
+def _q_suppliers_by_region(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import suppliers_by_region
+
+    return suppliers_by_region(sf_dir)
+
+
+def _q_events_json_k(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import events_json_k
+
+    return events_json_k(sf_dir)
+
+
+def _q_bpe_token_count(sf_dir: str):
+    import pyarrow as pa
+
+    from ocr_sam_project_ray.ops.textstats import bpe_ish_token_count
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bpe_tokens": pa.array(
+                    [bpe_ish_token_count(t) for t in batch["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(f, batch_format="pyarrow").to_pandas().reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (synthetic page corpus; oracles = golden parquet)
@@ -443,6 +474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": _q_distinct_event_types,
         "events_stats_by_type": _q_events_stats_by_type,
         "sample_docs": _q_sample_docs,
+        "suppliers_by_region": _q_suppliers_by_region,
+        "events_json_k": _q_events_json_k,
+        "bpe_token_count": _q_bpe_token_count,
     }
 
 
@@ -718,4 +752,18 @@ def _ops_oracles() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
         """,
+        "suppliers_by_region": R.SQL_SUPPLIERS_BY_REGION,
+        "events_json_k": R.SQL_EVENTS_JSON_K,
+        "bpe_token_count": _bpe_oracle(),
     }
+
+
+def _bpe_oracle() -> str:
+    from ocr_sam_project_ray.ops.textstats import BPE_ISH_PATTERN
+
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+                 AS bpe_tokens
+        FROM documents
+    """

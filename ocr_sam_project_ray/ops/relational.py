@@ -469,3 +469,114 @@ SELECT event_type,
        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def suppliers_by_region(sf_dir: str):
+    """Two-level broadcast join over dimension tables: supplier ⋈ nation ⋈
+    region → supplier count + cent-exact balance sum per region. Both
+    lookup sides are tiny → dict broadcast inside one map_batches (the
+    dimension-join pattern; no shuffle)."""
+    configure_data_context()
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    nation_to_region = dict(zip(nation.n_nationkey, nation.n_regionkey))
+    region_name = dict(zip(region.r_regionkey, region.r_name))
+    lookup_ref = ray.put((nation_to_region, region_name))
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n2r, rname = ray.get(lookup_ref)
+        df = pd.DataFrame(
+            {
+                "r_name": [
+                    rname[n2r[nk]] for nk in batch["s_nationkey"].to_pylist()
+                ],
+                "n_suppliers": 1,
+                "acctbal_cents": _cents(batch["s_acctbal"]).to_pylist(),
+            }
+        )
+        agg = df.groupby("r_name", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        sup.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name", num_partitions=2)
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+    )
+    return out.to_pandas().sort_values("r_name").reset_index(drop=True)
+
+
+SQL_SUPPLIERS_BY_REGION = """
+SELECT r_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def events_json_k(sf_dir: str, num_partitions: int = 2):
+    """JSON scalar extraction over the events ``props`` column (tolerant
+    parse — the reference's maybe-string-maybe-dict handling,
+    ocr_processor/app.py:346-357): per event_type, count + sum of the
+    JSON field ``k``. Oracle: DuckDB json_extract."""
+    import json as _json
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                obj = _json.loads(p) if isinstance(p, str) else (p or {})
+                k = obj.get("k", 0) if isinstance(obj, dict) else 0
+                ks.append(int(k))
+            except (ValueError, TypeError):
+                ks.append(0)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "n": 1,
+                "k_sum": ks,
+            }
+        )
+        agg = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"), Sum("k_sum", alias_name="k_sum"))
+    )
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_JSON_K = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS k_sum
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -170,3 +170,16 @@ def sample_by_content_hash(ds, fraction_sixteenths: int = 4,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# BPE-ish pretokenizer: GPT-2-style word/number/punct/space segmentation,
+# restricted to lookahead-free ASCII classes so the exact same pattern runs
+# in Python re and DuckDB's RE2 (the oracle recomputes the counts)
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_ISH = re.compile(BPE_ISH_PATTERN)
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Token count under the BPE-ish pretokenizer (whitespace runs count as
+    tokens, matching the raw pattern — a cheap proxy for LLM token cost)."""
+    return len(_BPE_ISH.findall(text or ""))

@@ -58,3 +58,39 @@ def test_actor_pool_path_same_results():
     b = actors.sort_values("doc_id").reset_index(drop=True)
     assert list(a.doc_id) == list(b.doc_id)
     assert list(a.extracted_text) == list(b.extracted_text)
+
+
+def test_poison_row_captured_not_fatal(monkeypatch):
+    """A payload that makes the extractor raise must become an empty-text
+    row, not a task failure (error-result parity, ocr_processor/app.py:120-138)."""
+    import pyarrow as pa
+
+    from ocr_sam_project_ray.stages import extract as ex
+
+    real = ex.extract_main_text
+
+    def bomb(payload):
+        if b"BOOM" in payload:
+            raise RuntimeError("synthetic parser crash")
+        return real(payload)
+
+    monkeypatch.setattr(ex, "extract_main_text", bomb)
+    batch = pa.table(
+        {
+            "url": pa.array(["u1", "u2"]),
+            "warc_ts": pa.array([1, 2], pa.int64()),
+            "lang": pa.array(["es", "es"]),
+            "doc_bytes": pa.array([10, 10], pa.int64()),
+            "size_bucket": pa.array([3, 3], pa.int32()),
+            "valid": pa.array([True, True]),
+            "error": pa.array(["", ""]),
+            "html": pa.array([b"<p>BOOM</p>", b"<!DOCTYPE html><html><body><p>"
+                              + b"texto suficientemente largo para ser contenido bueno."
+                              + b"</p></body></html>"], pa.binary()),
+        }
+    )
+    actor = ex.MainContentExtractor()
+    out = actor(batch)
+    assert out["extracted_text"][0].as_py() == ""      # poison captured
+    assert "contenido" in out["extracted_text"][1].as_py()
+    assert actor.docs_failed == 1 and actor.docs_processed == 1
