@@ -276,6 +276,15 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.8).to_pandas().reset_index(drop=True)
 
 
+def _q_near_dup_verified(sf_dir: str):
+    """LSH candidates → exact verification; must EQUAL the brute-force
+    n-gram Jaccard oracle (same SQL as ngram_jaccard_pairs) — the canonical
+    two-stage near-dup pipeline proven equivalent to the exact kernel."""
+    from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
+
+    return near_dup_verified(_docs(sf_dir), threshold=0.8, num_partitions=4).to_pandas()
+
+
 def _q_minhash_pairs(sf_dir: str):
     from ocr_sam_project_ray.ops.dedup_text import minhash_lsh_pairs
 
@@ -457,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_docs_exact": _q_dedup_docs_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "near_dup_verified": _q_near_dup_verified,
         "minhash_pairs": _q_minhash_pairs,        # rows-only (LSH not in SQL)
         "simhash_docs": _q_simhash_docs,          # rows-only
         "multimodal_meta": _q_multimodal_meta,
@@ -703,6 +713,17 @@ def _ops_oracles() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         """,
         "ngram_jaccard_pairs": f"""
+            WITH g AS (SELECT doc_id, {grams} AS s FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(floor(
+                     (len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+                     * 1000000) AS BIGINT) AS jaccard_ppm
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        """,
+        "near_dup_verified": f"""
             WITH g AS (SELECT doc_id, {grams} AS s FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(floor(

@@ -393,3 +393,60 @@ def simhash_near_pairs(
         batch_format="pyarrow", batch_size=None,
     )
     return p.drop_columns(["pair_key"])
+
+
+def near_dup_verified(
+    ds: Dataset, threshold: float = 0.8, id_col: str = "doc_id",
+    text_col: str = "text", num_partitions: int = 8,
+    candidate_threshold: float = 0.5,
+):
+    """The canonical two-stage near-dup pipeline (LSH candidates → exact
+    verification): MinHash+LSH proposes candidate pairs cheaply (only
+    same-bucket docs ever meet), then ONLY the candidate pairs are verified
+    with exact n-gram Jaccard — texts of candidate ids are broadcast (the
+    candidate set is small by construction), so the quadratic exact kernel
+    never sees the full corpus. Returns an arrow table
+    (id_a, id_b, jaccard_ppm) of pairs with exact Jaccard >= threshold."""
+    import pyarrow as pa
+
+    import ray
+
+    cands = minhash_lsh_pairs(
+        ds, threshold=candidate_threshold, id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions,
+    ).to_pandas()
+    if cands.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard_ppm": pa.array([], pa.int64())})
+
+    needed = set(cands.id_a) | set(cands.id_b)
+    needed_arr = pa.array(sorted(needed), pa.int64())
+
+    import pyarrow.compute as pc
+
+    texts_df = (
+        ds.map_batches(
+            lambda b: b.filter(pc.is_in(b[id_col], value_set=needed_arr)),
+            batch_format="pyarrow",
+        )
+        .select_columns([id_col, text_col])
+        .to_pandas()
+    )
+    text_by_id = dict(zip(texts_df[id_col], texts_df[text_col]))
+    sets = {i: word_ngrams(t) for i, t in text_by_id.items()}
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(zip(cands.id_a, cands.id_b)):
+        jac = jaccard(sets[a], sets[b])
+        if jac >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(int(jac * 1e6))
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "jaccard_ppm": pa.array(out_j, pa.int64()),
+        }
+    )

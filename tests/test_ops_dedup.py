@@ -101,3 +101,21 @@ def test_dedup_near_minhash_drops_losers(docs):
         assert b not in kept_ids
     for a in set(pairs.id_a) - set(pairs.id_b):
         assert a in kept_ids
+
+
+def test_near_dup_verified_matches_exact_kernel(docs):
+    """LSH-candidates → exact-verify must agree with the brute-force exact
+    kernel on every pair it emits, and recall the 0.8+ pairs."""
+    from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
+
+    verified = near_dup_verified(docs, threshold=0.8, num_partitions=2).to_pandas()
+    exact = ngram_jaccard_pairs(docs, threshold=0.8).to_pandas()
+    vset = set(zip(verified.id_a, verified.id_b))
+    eset = set(zip(exact.id_a, exact.id_b))
+    assert vset <= eset                       # no false positives, ever
+    missed = eset - vset
+    assert len(missed) <= max(1, len(eset) // 10), missed  # LSH recall
+    # ppm values agree exactly where both report
+    ev = exact.set_index(["id_a", "id_b"]).jaccard_ppm
+    for _, r in verified.iterrows():
+        assert ev.loc[(r.id_a, r.id_b)] == r.jaccard_ppm
