@@ -158,11 +158,20 @@ _TOKEN = re.compile(
     r"|<!\[CDATA\[.*?\]\]>"             # CDATA blocks
     r"|<![^>]*>"                        # doctype / declarations
     r"|<\?[^>]*>"                       # processing instructions
+    r"|</\s*>"                          # empty end tag (dropped, as stdlib)
     r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)"  # (1) closing? (2) tag name
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"    # (3) attributes (ignored)
     r"(/?)\s*>",                            # (4) self-closing?
     re.DOTALL,
 )
+
+# Scope of fast/stdlib equivalence: byte-identical on well-formed HTML
+# (asserted over every synthetic corpus page + edge cases + a hypothesis
+# fuzz of generated well-formed documents). On PATHOLOGICAL markup
+# (unterminated tags like "<p<", attribute quotes containing '>', stray
+# '<' runs) the two parsers may segment differently — html.parser's own
+# behavior there is recovery-heuristic, not spec. Both remain fully
+# deterministic; OCR_SAM_RAY_STDLIB_HTML=1 selects the stdlib behavior.
 
 import html as _html_mod
 import os as _os

@@ -191,3 +191,89 @@ def knn_ivf(
     top = merged.groupby("qid", as_index=False).head(k)
     top["sim"] = top["sim"].round(6)
     return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+def cosine_near_pairs_ivf(
+    ds: Dataset, threshold: float, n_centroids: int = 16,
+    sample_rows: int = 2048, id_col: str = "vec_id",
+    emb_col: str = "embedding", num_partitions: int = 4,
+) -> Dataset:
+    """Embedding near-dup pairs at scale: assign every vector to its
+    nearest IVF centroid, hash-repartition by bucket, compare ONLY within
+    buckets (near-identical vectors share a centroid w.h.p.). Approximate:
+    pairs straddling a centroid boundary are missed — raise n_centroids'
+    granularity or probe neighbors for tighter recall; the exact kernel
+    (cosine_near_pairs) verifies bounded subsets."""
+    sample_df = ds.limit(sample_rows).to_pandas()
+    sample = np.asarray(list(sample_df[emb_col]), dtype=np.float64)
+    cents = _lite_centroids(sample, n_centroids)
+    cn = _normalize(cents)
+    c_ref = ray.put(cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        bucket = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                emb_col: batch[emb_col],
+                "ivf_bucket": pa.array(bucket, pa.int32()),
+            }
+        )
+
+    from ..context import configure_data_context
+
+    configure_data_context()
+    assigned = ds.map_batches(assign, batch_format="pyarrow").repartition(
+        num_blocks=num_partitions, keys=["ivf_bucket"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids_all = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        buckets = np.asarray(batch["ivf_bucket"].to_pylist())
+        m_all = _normalize(_batch_matrix(batch, emb_col))
+        out_a, out_b, out_s = [], [], []
+        for bk in np.unique(buckets):
+            mask = buckets == bk
+            ids = ids_all[mask]
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = m_all[mask][order]
+            if len(ids) < 2:
+                continue
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            sel = sims[ia, ib] >= threshold
+            out_a.extend(ids[ia[sel]].tolist())
+            out_b.extend(ids[ib[sel]].tolist())
+            out_s.extend(np.round(sims[ia, ib][sel], 6).tolist())
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return assigned.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_near_cosine(
+    ds: Dataset, threshold: float, id_col: str = "vec_id",
+    emb_col: str = "embedding", **ivf_kwargs,
+) -> Dataset:
+    """Embedding-cosine near-dedup: drop the larger id of every IVF-bucketed
+    near pair (single-link step, mirroring dedup_near_minhash)."""
+    import pyarrow.compute as pc
+
+    pairs = cosine_near_pairs_ivf(ds, threshold, id_col=id_col,
+                                  emb_col=emb_col, **ivf_kwargs)
+    losers = {r["id_b"] for r in pairs.take_all()}  # pair set is small
+    loser_arr = pa.array(sorted(losers), pa.int64())
+    return ds.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(b[id_col], value_set=loser_arr))),
+        batch_format="pyarrow",
+    )

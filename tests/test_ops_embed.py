@@ -73,3 +73,32 @@ def test_cosine_near_pairs_exact(emb, ref):
     }
     got = set(zip(out.id_a, out.id_b))
     assert got == expected
+
+
+def test_cosine_near_pairs_ivf_and_dedup(emb, ref):
+    from ocr_sam_project_ray.ops.embed import (
+        cosine_near_pairs_ivf, dedup_near_cosine,
+    )
+
+    ids, _, En = ref
+    # exact pairs at a low threshold so some exist in this corpus
+    sims = En @ En.T
+    import numpy as np
+
+    ia, ib = np.triu_indices(len(ids), k=1)
+    sel = sims[ia, ib] >= 0.4
+    exact = {(int(min(a, b)), int(max(a, b)))
+             for a, b in zip(ids[ia[sel]], ids[ib[sel]])}
+
+    got = cosine_near_pairs_ivf(emb, threshold=0.4, n_centroids=4,
+                                num_partitions=2).to_pandas()
+    gset = set(zip(got.id_a, got.id_b))
+    assert gset <= exact                       # no false positives
+    if exact:
+        assert len(gset) / len(exact) >= 0.3   # bucketed recall (approximate)
+
+    kept = dedup_near_cosine(emb, threshold=0.4, n_centroids=4,
+                             num_partitions=2).to_pandas()
+    kept_ids = set(kept.vec_id)
+    for _, r in got.iterrows():
+        assert r.id_b not in kept_ids
