@@ -302,8 +302,37 @@ def _compose_page(rng: random.Random, url: str, body_scale: int = 1):
     return raw, expected_text, expected_segments, oficios, declared, has_config, company
 
 
+def _render_pdf_like(rng: random.Random, doc_lines: list[str]) -> bytes:
+    """Render the composed document as the PDF-like fixture (see
+    functions/pdf_text.py): positioned records, SCRAMBLED within each page,
+    1-3 pages — the layout parser must sort by (y, x) to recover order."""
+    n_pages = min(len(doc_lines), rng.randrange(1, 4))
+    bounds = sorted(rng.sample(range(1, len(doc_lines)), n_pages - 1)) \
+        if n_pages > 1 else []
+    pages = []
+    start = 0
+    for b in bounds + [len(doc_lines)]:
+        chunk = doc_lines[start:b]
+        start = b
+        records = [
+            f"@{(i + 1) * 10},{rng.randrange(1, 100)}:{ln}"
+            for i, ln in enumerate(chunk)
+        ]
+        rng.shuffle(records)
+        pages.append("\n".join(records))
+    raw = ("%PDF-1.4\n" + "\x0c".join(pages) + "\n%%EOF").encode("utf-8")
+    if len(raw) < MIN_HTML_BYTES:
+        raw += b"\n%" + b"p" * (MIN_HTML_BYTES - len(raw))
+    return raw
+
+
 def _malformed_page(rng: random.Random):
-    mode = rng.choice(["empty", "truncated", "tiny", "junk"])
+    mode = rng.choice(["empty", "truncated", "tiny", "junk", "pdf_noeof"])
+    if mode == "pdf_noeof":
+        raw = ("%PDF-1.4\n" + "@10,5:contenido truncado\n" * 60).encode()
+        if len(raw) < MIN_HTML_BYTES:
+            raw += b"%" * MIN_HTML_BYTES
+        return raw, "Invalid PDF file: missing EOF marker"
     if mode == "empty":
         return b"", "HTML too small: 0 bytes (min: %d)" % MIN_HTML_BYTES
     if mode == "tiny":
@@ -372,8 +401,18 @@ def generate_corpus(
         raw, expected_text, expected_segments, oficios, declared, has_config, \
             config_company = _compose_page(rng, url, body_scale)
 
+        # ~10% of valid pages carry the PDF-like payload (layout-parse path);
+        # the expected text is IDENTICAL — downstream stages are payload-
+        # agnostic, only the extractor routes differently
+        as_pdf = rng.random() < 0.10
+        if as_pdf:
+            doc_lines_now = expected_text.split("\n")
+            raw = _render_pdf_like(rng, doc_lines_now)
+
         if do_check:
-            got = extract_main_text(raw)
+            from ..functions.pdf_text import extract_pdf_like_text
+
+            got = extract_pdf_like_text(raw) if as_pdf else extract_main_text(raw)
             assert got == expected_text, (
                 f"generator/extractor drift at {url}:\n"
                 f"expected {expected_text[:400]!r}...\ngot {got[:400]!r}..."
@@ -504,7 +543,7 @@ def split_offsets_by_url(pages_t: pa.Table, n_files: int) -> list[tuple[int, int
 CACHE_ROOT = os.environ.get("OCR_SAM_RAY_CORPUS_DIR", "/tmp/ocr_sam_ray_corpus")
 
 # bump when generator output changes so stale caches are never read
-CORPUS_VERSION = "v5"
+CORPUS_VERSION = "v6"
 
 # pages per scale tier (sf names mirror /root/testdata convention); bench
 # tiers use body_scale>1 (larger pages) so compute dominates fixed costs

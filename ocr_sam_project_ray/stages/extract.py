@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.html_text import extract_main_text
+from ..functions.pdf_text import extract_pdf_like_text, is_pdf_like
 
 # columns that travel past this stage
 _CARRY = ["url", "warc_ts", "lang", "doc_bytes", "size_bucket", "valid", "error"]
@@ -43,7 +44,12 @@ class MainContentExtractor:
                 continue
             payload = html[i].as_py()
             try:
-                texts.append(extract_main_text(payload))
+                # dual payload routing: DOM path for HTML, layout-parse
+                # path for PDF-like binaries (FIXTURES.md §1)
+                if is_pdf_like(payload):
+                    texts.append(extract_pdf_like_text(payload))
+                else:
+                    texts.append(extract_main_text(payload))
                 self.docs_processed += 1
             except Exception:  # poison-row capture, never fail the task
                 texts.append("")

@@ -22,6 +22,8 @@ MIN_HTML_BYTES = 1024
 MAX_HTML_BYTES = 50 * 1024 * 1024
 HEADER_MARKER = "<!DOCTYPE html>"
 EOF_MARKER = "</html>"
+PDF_HEADER = "%PDF-"     # second payload path (validators.py:34 parity)
+PDF_EOF = "%%EOF"        # validators.py:39 parity
 
 
 def validate_batch(batch: pa.Table) -> pa.Table:
@@ -32,28 +34,34 @@ def validate_batch(batch: pa.Table) -> pa.Table:
 
     too_large = pc.greater(size, MAX_HTML_BYTES)
     too_small = pc.less(size, MIN_HTML_BYTES)
-    has_header = pc.starts_with(html, pattern=HEADER_MARKER)
-    has_eof = pc.match_substring(html, pattern=EOF_MARKER)
+    is_html = pc.starts_with(html, pattern=HEADER_MARKER)
+    is_pdf = pc.starts_with(html, pattern=PDF_HEADER)
+    html_eof = pc.match_substring(html, pattern=EOF_MARKER)
+    pdf_eof = pc.match_substring(html, pattern=PDF_EOF)
 
+    complete = pc.or_(pc.and_(is_html, html_eof), pc.and_(is_pdf, pdf_eof))
     valid = pc.and_(
-        pc.and_(pc.invert(too_large), pc.invert(too_small)),
-        pc.and_(has_header, has_eof),
+        pc.and_(pc.invert(too_large), pc.invert(too_small)), complete
     )
 
     # error messages only for the (rare) invalid rows — check order mirrors
-    # validators.py:22-44 (large, small, header, EOF)
+    # validators.py:22-44 (large, small, header, EOF); PDF-like payloads get
+    # the reference's exact PDF messages
     errors = [""] * n
     valid_np = valid.to_numpy(zero_copy_only=False)
     if not valid_np.all():
         large_np = too_large.to_numpy(zero_copy_only=False)
         small_np = too_small.to_numpy(zero_copy_only=False)
-        header_np = has_header.to_numpy(zero_copy_only=False)
+        html_np = is_html.to_numpy(zero_copy_only=False)
+        pdf_np = is_pdf.to_numpy(zero_copy_only=False)
         for i in np.nonzero(~valid_np)[0]:
             if large_np[i]:
                 errors[i] = f"HTML too large: {size_np[i]} bytes (max: {MAX_HTML_BYTES})"
             elif small_np[i]:
                 errors[i] = f"HTML too small: {size_np[i]} bytes (min: {MIN_HTML_BYTES})"
-            elif not header_np[i]:
+            elif pdf_np[i]:
+                errors[i] = "Invalid PDF file: missing EOF marker"
+            elif not html_np[i]:
                 errors[i] = "Invalid HTML file: missing DOCTYPE header"
             else:
                 errors[i] = "Invalid HTML file: missing closing html tag"
