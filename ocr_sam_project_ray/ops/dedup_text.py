@@ -202,20 +202,35 @@ def ngram_jaccard_pairs(
     return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
 
 
+MAX_LSH_BUCKET = 200  # hot-bucket guard (see minhash_lsh_pairs docstring)
+
+
 def minhash_lsh_pairs(
     ds: Dataset, threshold: float = 0.7, id_col: str = "doc_id",
     text_col: str = "text", num_partitions: int = 8,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> Dataset:
     """MinHash+LSH near-dup candidates at scale:
     signature per doc (map_batches) → explode to (band_key, id, sig) rows →
     hash repartition on band_key → within-bucket pairs scored by signature
     agreement (est. Jaccard = matching perms / 64) → global pair dedup.
-    Only same-bucket docs are ever compared."""
+    Only same-bucket docs are ever compared.
+
+    Skew guards (hot keys are THE failure mode of LSH dedup at scale):
+    - empty/shingle-less docs emit NO bands (their all-MAX signatures would
+      otherwise all collide into one giant bucket — run dedup_exact first
+      to collapse byte-identical docs);
+    - buckets larger than ``max_bucket`` are skipped entirely instead of
+      generating O(n²) pairs — a bucket that hot is a degenerate-content
+      cluster (boilerplate), not a near-dup candidate set; handle those
+      with exact dedup on a normalized fingerprint."""
     configure_data_context()
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids, keys, sig_bytes = [], [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            if not word_ngrams(t):
+                continue  # empty-shingle guard
             sig = minhash_signature(t)
             for k in band_keys(sig):
                 ids.append(i)
@@ -244,8 +259,8 @@ def minhash_lsh_pairs(
             by_key[k].append((i, s))
         out_a, out_b, out_e = [], [], []
         for members in by_key.values():
-            if len(members) < 2:
-                continue
+            if len(members) < 2 or len(members) > max_bucket:
+                continue  # hot-bucket guard (see docstring)
             members.sort()
             for x in range(len(members)):
                 ia, sa = members[x]

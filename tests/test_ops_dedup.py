@@ -119,3 +119,30 @@ def test_near_dup_verified_matches_exact_kernel(docs):
     ev = exact.set_index(["id_a", "id_b"]).jaccard_ppm
     for _, r in verified.iterrows():
         assert ev.loc[(r.id_a, r.id_b)] == r.jaccard_ppm
+
+
+def test_lsh_hot_bucket_guards():
+    """Empty texts emit no bands; a degenerate identical-text cluster above
+    max_bucket is skipped instead of generating O(n²) pairs; genuine
+    near-dups elsewhere are still found."""
+    import pyarrow as pa
+
+    import ray.data
+
+    base = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    rows = (
+        [{"doc_id": i, "text": ""} for i in range(50)]                 # empty
+        + [{"doc_id": 100 + i, "text": "mismo texto repetido aqui"}    # hot cluster
+           for i in range(30)]
+        + [{"doc_id": 900, "text": base},
+           {"doc_id": 901, "text": base + " trece"}]                   # real near-dup
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, num_partitions=2,
+                              max_bucket=10).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (900, 901) in got
+    # no pair involves empty docs; hot cluster suppressed by the guard
+    for a, b in got:
+        assert a >= 100 and b >= 100
+        assert not (100 <= a < 130 and 100 <= b < 130)
