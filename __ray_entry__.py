@@ -394,6 +394,12 @@ def _q_events_asof_orders(sf_dir: str):
     return events_asof_orders(sf_dir)
 
 
+def _q_top_events_per_user(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import top_events_per_user
+
+    return top_events_per_user(sf_dir)
+
+
 def _q_distinct_event_types(sf_dir: str):
     from ocr_sam_project_ray.ops.relational import distinct_event_types
 
@@ -482,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "events_asof_orders": _q_events_asof_orders,
         "distinct_event_types": _q_distinct_event_types,
+        "top_events_per_user": _q_top_events_per_user,
         "events_stats_by_type": _q_events_stats_by_type,
         "sample_docs": _q_sample_docs,
         "suppliers_by_region": _q_suppliers_by_region,
@@ -768,6 +775,7 @@ def _ops_oracles() -> dict[str, str]:
         "user_sessions": R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US),
         "events_asof_orders": R.SQL_EVENTS_ASOF,
         "distinct_event_types": R.SQL_DISTINCT_EVENT_TYPES,
+        "top_events_per_user": R.SQL_TOP_EVENTS_PER_USER.format(k=3),
         "events_stats_by_type": R.SQL_EVENTS_STATS,
         "sample_docs": """
             SELECT doc_id FROM documents

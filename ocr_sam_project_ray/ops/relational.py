@@ -580,3 +580,54 @@ SELECT event_type,
        CAST(sum(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS k_sum
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def top_events_per_user(sf_dir: str, k: int = 3, num_partitions: int = 4):
+    """Grouped top-k (distinct from global top-k): top-k events per user by
+    value. Partial top-k per batch inside map_batches (each batch emits at
+    most k rows per user it saw) → groupby(user).map_groups final top-k —
+    the shuffle only ever moves candidate rows, never the full table.
+    Deterministic tie-break on event_id."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_pylist(),
+                "event_id": batch["event_id"].to_pylist(),
+                "value": batch["value"].to_pylist(),
+            }
+        )
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).head(k), preserve_index=False
+        )
+
+    def final(g):
+        g = g.sort_values(["value", "event_id"], ascending=[False, True])
+        return g.head(k)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=num_partitions)
+        .map_groups(final, batch_format="pandas")
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "value", "event_id"], ascending=[True, False, True])
+        .reset_index(drop=True)[["user_id", "event_id", "value"]]
+    )
+
+
+SQL_TOP_EVENTS_PER_USER = """
+SELECT user_id, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id) <= {k}
+ORDER BY user_id, value DESC, event_id
+"""

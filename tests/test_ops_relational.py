@@ -57,3 +57,9 @@ def test_user_sessions(con):
 
 def test_events_asof_orders(con):
     _cmp(R.events_asof_orders(SF), R.SQL_EVENTS_ASOF, con, ["event_id"])
+
+
+def test_top_events_per_user(con):
+    _cmp(R.top_events_per_user(SF),
+         R.SQL_TOP_EVENTS_PER_USER.format(k=3), con,
+         ["user_id", "event_id"])
