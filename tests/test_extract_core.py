@@ -109,3 +109,20 @@ def test_annotate_segment_full():
     # span offsets index into the text
     for s in a["spans"]:
         assert text[s["start"]:s["end"]] == s["text"]
+
+
+def test_validate_metadata():
+    ok, err, warn = core.validate_metadata(
+        {"empresa": "Banco General", "cantidad_oficios_declarada": 3}
+    )
+    assert ok and not err
+    ok, err, _ = core.validate_metadata({"empresa": "", "cantidad_oficios_declarada": 3})
+    assert not ok and "empresa" in err
+    ok, _, warn = core.validate_metadata(
+        {"empresa": "Banco", "cantidad_oficios_declarada": 2000}
+    )
+    assert ok and "inusual" in warn
+    ok, _, warn = core.validate_metadata(
+        {"empresa": "ab", "cantidad_oficios_declarada": 1}
+    )
+    assert ok and "corto" in warn

@@ -94,3 +94,31 @@ def test_poison_row_captured_not_fatal(monkeypatch):
     assert out["extracted_text"][0].as_py() == ""      # poison captured
     assert "contenido" in out["extracted_text"][1].as_py()
     assert actor.docs_failed == 1 and actor.docs_processed == 1
+
+
+def test_validator_size_boundaries():
+    import pyarrow as pa
+
+    from ocr_sam_project_ray.stages.validate import (
+        MIN_HTML_BYTES, validate_batch,
+    )
+
+    def page(body: bytes) -> bytes:
+        return b"<!DOCTYPE html><html><body>" + body + b"</body></html>"
+
+    base = page(b"")
+    pad = MIN_HTML_BYTES - len(base)
+    exact_min = page(b"x" * pad)          # exactly MIN bytes
+    one_under = page(b"x" * (pad - 1))    # MIN - 1
+    assert len(exact_min) == MIN_HTML_BYTES
+    batch = pa.table(
+        {
+            "url": pa.array(["a", "b", "c"]),
+            "html": pa.array([exact_min, one_under,
+                              b"%PDF-1.4\n@10,1:x\n%%EOF" + b"%" * MIN_HTML_BYTES],
+                             pa.binary()),
+        }
+    )
+    out = validate_batch(batch)
+    assert out["valid"].to_pylist() == [True, False, True]
+    assert "too small" in out["error"][1].as_py()
