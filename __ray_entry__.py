@@ -201,6 +201,22 @@ def _q_text_scores(sf_dir: str):
     )
 
 
+def _q_accepted_results(sf_dir: str):
+    """Result-acceptance predicate (crm_integrator/app.py:153-223 parity):
+    success AND any of text/classification/entities present."""
+    from ocr_sam_project_ray.functions.extract_core import accept_result
+
+    ds = _annotated(sf_dir)
+    df = ds.select_columns(
+        ["doc_id", "success", "extracted_text", "type_id", "n_entities"]
+    ).to_pandas()
+    df["accepted"] = [
+        accept_result(s, t, ty, ne)
+        for s, t, ty, ne in zip(df.success, df.extracted_text, df.type_id, df.n_entities)
+    ]
+    return df[["doc_id", "accepted"]].reset_index(drop=True)
+
+
 def _q_dedup_pages(sf_dir: str):
     """Exact url dedup over the raw pages table (keep latest warc_ts) —
     oracle is an independent DuckDB window-function dedup."""
@@ -464,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fecha_iso": _q_extract_fecha_iso,
         "project_names": _q_project_names,
         "text_scores": _q_text_scores,
+        "accepted_results": _q_accepted_results,
         "dedup_pages": _q_dedup_pages,
         "batch_rollup": _q_batch_rollup,
         # training-data ops (documents/embeddings views; DuckDB recompute)
@@ -558,6 +575,15 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans_agg": _spans_oracle(gs),
         "extract_fecha_iso": _fecha_oracle(gs),
         "text_scores": _scores_oracle(gs),
+        "accepted_results": f"""
+            SELECT doc_id,
+                   (extracted_text <> '' OR type_id > 0 OR n_entities > 0)
+                     AS accepted
+            FROM read_parquet('{gs}')
+            UNION ALL
+            SELECT url AS doc_id, false AS accepted
+            FROM read_parquet('{gp}') WHERE NOT success
+        """,
         "project_names": f"""
             WITH p AS (SELECT doc_id, seq AS secuencia,
                               string_split(nombre_completo, ' ') AS parts

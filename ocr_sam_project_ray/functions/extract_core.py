@@ -304,6 +304,17 @@ def derive_confidence(
     return confidence
 
 
+def accept_result(
+    success: bool, extracted_text: str, type_id: int, n_entities: int
+) -> bool:
+    """Downstream result-acceptance predicate (crm_integrator/app.py:153-223
+    parity): a result is consumable iff it succeeded AND carries at least
+    one of extracted text / classification / structured entities."""
+    return bool(
+        success and (extracted_text or type_id > 0 or n_entities > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Whole-segment annotation
 # ---------------------------------------------------------------------------

@@ -126,3 +126,12 @@ def test_validate_metadata():
         {"empresa": "ab", "cantidad_oficios_declarada": 1}
     )
     assert ok and "corto" in warn
+
+
+def test_accept_result_predicate():
+    # crm_integrator/app.py:153-223: success && any evidence present
+    assert core.accept_result(True, "texto", 0, 0)
+    assert core.accept_result(True, "", 5, 0)
+    assert core.accept_result(True, "", 0, 2)
+    assert not core.accept_result(True, "", 0, 0)
+    assert not core.accept_result(False, "texto", 5, 2)
