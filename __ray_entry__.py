@@ -435,6 +435,22 @@ def _q_sample_docs(sf_dir: str):
     return ds.select_columns(["doc_id"]).to_pandas().reset_index(drop=True)
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HLL approximate distinct count (mergeable-sketch pattern) — not
+    SQL-expressible, rows-only; accuracy is asserted by tests."""
+    import pandas as pd
+
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.ops.sketch import approx_count_distinct
+
+    configure_data_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_count_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [round(est, 3)]})
+
+
 def _q_suppliers_by_region(sf_dir: str):
     from ocr_sam_project_ray.ops.relational import suppliers_by_region
 
@@ -508,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _q_top_events_per_user,
         "events_stats_by_type": _q_events_stats_by_type,
         "sample_docs": _q_sample_docs,
+        "approx_distinct_users": _q_approx_distinct_users,  # rows-only (sketch)
         "suppliers_by_region": _q_suppliers_by_region,
         "events_json_k": _q_events_json_k,
         "bpe_token_count": _q_bpe_token_count,
