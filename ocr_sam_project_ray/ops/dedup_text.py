@@ -48,15 +48,18 @@ def _md5_64(data: bytes) -> int:
 
 
 def word_ngrams(text: str, n: int = 3) -> set[tuple[str, ...]]:
+    """Docs with fewer than ``n`` words have NO grams (empty set) — matching
+    the SQL oracle's generate_series expression, which yields an empty list
+    for them; such docs can never form a near-dup pair."""
     words = (text or "").split()
     if len(words) < n:
-        return {tuple(words)} if words else set()
+        return set()
     return {tuple(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
 def jaccard(a: set, b: set) -> float:
-    if not a and not b:
-        return 1.0
+    """jaccard(∅, ∅) = 0.0 (the SQL oracle's 0/0 → NULL excludes the pair;
+    gram-less docs therefore never pair — pinned by the short-doc tests)."""
     u = len(a | b)
     return len(a & b) / u if u else 0.0
 

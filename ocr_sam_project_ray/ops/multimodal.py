@@ -36,38 +36,51 @@ class DecodePayload:
 
     def __init__(self) -> None:
         try:  # pragma: no cover - Pillow absent in this container
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
-            self._backend = "pillow"
+            self._Image = Image
         except ImportError:
-            self._backend = "stub"
+            self._Image = None
 
-    def _decode_stub(self, payload: bytes) -> tuple[int, int]:
+    def _decode_stub(self, payload: bytes) -> tuple[int, int, str]:
         # DETERMINISTIC FAKE: dimensions derived from the payload digest.
         # NOT a real decode — replace with the real kernel in production.
         d = hashlib.md5(payload).digest()
-        return 64 + d[0] % 192, 64 + d[1] % 192
+        return 64 + d[0] % 192, 64 + d[1] % 192, "stub"
+
+    def _decode(self, payload: bytes) -> tuple[int, int, str]:
+        """Real Pillow decode when the library is present AND the payload is
+        a decodable image; the per-row ``decode_backend`` label reports which
+        kernel actually produced the dimensions (never claims 'pillow' for a
+        stubbed row)."""
+        if self._Image is not None:  # pragma: no cover - Pillow absent here
+            import io
+
+            try:
+                with self._Image.open(io.BytesIO(payload)) as im:
+                    return int(im.width), int(im.height), "pillow"
+            except Exception:
+                pass  # not a decodable image → deterministic stub below
+        return self._decode_stub(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        n_bytes, digests, widths, heights = [], [], [], []
+        n_bytes, digests, widths, heights, backends = [], [], [], [], []
         for p in payloads:
             p = p or b""
             n_bytes.append(len(p))
             digests.append(hashlib.md5(p).hexdigest())
-            w, h = self._decode_stub(p)
+            w, h, backend = self._decode(p)
             widths.append(w)
             heights.append(h)
+            backends.append(backend)
         out = batch.drop_columns(["payload"])  # blobs never travel past decode
         return (
             out.append_column("n_bytes", pa.array(n_bytes, pa.int64()))
             .append_column("digest", pa.array(digests, pa.string()))
             .append_column("width", pa.array(widths, pa.int32()))
             .append_column("height", pa.array(heights, pa.int32()))
-            .append_column(
-                "decode_backend",
-                pa.array([self._backend] * len(batch), pa.string()),
-            )
+            .append_column("decode_backend", pa.array(backends, pa.string()))
         )
 
 

@@ -34,7 +34,7 @@ def tokenize(text: str) -> list[str]:
 
 
 def lang_id(text: str) -> str:
-    toks = tokenize(text.lower())
+    toks = tokenize((text or "").lower())  # null-safe like tokenize/quality_row
     best_lang, best_hits = "und", 0
     for lang in sorted(STOPWORDS):  # alphabetical = deterministic tie-break
         hits = sum(1 for t in toks if t in STOPWORDS[lang])

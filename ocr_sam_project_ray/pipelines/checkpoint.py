@@ -64,9 +64,13 @@ def _write_atomic_json(path: str, payload: dict) -> None:
     os.replace(tmp, path)
 
 
-def completed_shards(out_dir: str) -> set[str]:
+def completed_shards(out_dir: str) -> dict[str, dict]:
+    """Completed lineage records by shard_id. A bare id match is NOT enough
+    to skip a shard on resume — the caller must also check that the record's
+    input_fragment/n_shards match the current shard plan (a rerun with a
+    different n_shards or a changed input list must redo, not silently skip)."""
     lineage_dir = os.path.join(out_dir, "lineage")
-    done = set()
+    done: dict[str, dict] = {}
     if os.path.isdir(lineage_dir):
         for name in os.listdir(lineage_dir):
             if not name.endswith(".json"):
@@ -75,7 +79,7 @@ def completed_shards(out_dir: str) -> set[str]:
                 with open(os.path.join(lineage_dir, name)) as f:
                     rec = json.load(f)
                 if rec.get("status") == "completed":
-                    done.add(rec["shard_id"])
+                    done[rec["shard_id"]] = rec
             except (json.JSONDecodeError, OSError, KeyError):
                 continue  # torn lineage ⇒ shard will be redone
     return done
@@ -94,11 +98,26 @@ def run_checkpointed(
     done = completed_shards(out_dir)
     shards = _shards(input_files, n_shards)
 
+    # prune shards outside the current plan (e.g. a previous run with more
+    # shards) so the output dir and metrics reflect exactly this plan
+    plan_ids = {f"{i:05d}" for i in range(len(shards))}
+    for stale in set(done) - plan_ids:
+        shutil.rmtree(os.path.join(out_dir, f"shard={stale}"), ignore_errors=True)
+        try:
+            os.remove(_lineage_path(out_dir, stale))
+        except OSError:
+            pass
+
     for idx, files in enumerate(shards):
         shard_id = f"{idx:05d}"
         shard_dir = os.path.join(out_dir, f"shard={shard_id}")
-        if shard_id in done:
-            continue
+        rec = done.get(shard_id)
+        if (
+            rec is not None
+            and rec.get("input_fragment") == [os.path.basename(f) for f in files]
+            and rec.get("n_shards") == len(shards)
+        ):
+            continue  # same shard plan → safe to skip; any mismatch → redo
         # torn previous attempt (dir without completed lineage): redo cleanly
         shutil.rmtree(shard_dir, ignore_errors=True)
 
@@ -118,6 +137,7 @@ def run_checkpointed(
             _lineage_path(out_dir, shard_id),
             {
                 "shard_id": shard_id,
+                "n_shards": len(shards),
                 "input_fragment": [os.path.basename(f) for f in files],
                 "row_count": n_rows,
                 "success_count": n_ok,

@@ -64,7 +64,7 @@ def test_resume_after_partial_run(tmp_path, files):
         import shutil
 
         shutil.rmtree(os.path.join(part_out, f"shard={sid}"))
-    assert completed_shards(part_out) == {"00000"}
+    assert set(completed_shards(part_out)) == {"00000"}
 
     # shard 0 must not be reprocessed: corrupt its data dir marker-free way —
     # record mtime and assert unchanged after resume
@@ -77,6 +77,36 @@ def test_resume_after_partial_run(tmp_path, files):
 
     resumed = _read_out(part_out)
     pd.testing.assert_frame_equal(resumed, expected)
+
+
+def test_changed_shard_plan_is_redone(tmp_path, files):
+    """Resuming with a different n_shards (or input list) must NOT skip
+    shards whose zero-padded id collides with a stale lineage record — the
+    recorded input_fragment/n_shards are compared against the current plan."""
+    out = str(tmp_path / "replan")
+    run_checkpointed(files, out, PipelineConfig(dedup_partitions=2), n_shards=2)
+    # single-shard plan over the same files = the ground truth output
+    truth_out = str(tmp_path / "truth")
+    run_checkpointed(files, truth_out, PipelineConfig(dedup_partitions=2), n_shards=1)
+    expected = _read_out(truth_out)
+
+    # rerun with n_shards=1: shard 00000 now covers ALL files; the stale
+    # 2-shard record with the same id must not cause a skip
+    probe = sorted(glob.glob(os.path.join(out, "shard=00000", "*.parquet")))[0]
+    mtime = os.path.getmtime(probe)
+    run_checkpointed(files, out, PipelineConfig(dedup_partitions=2), n_shards=1)
+    new_probe = sorted(glob.glob(os.path.join(out, "shard=00000", "*.parquet")))[0]
+    assert not (new_probe == probe and os.path.getmtime(new_probe) == mtime)
+    df = (
+        pads.dataset(
+            glob.glob(os.path.join(out, "shard=00000", "*.parquet")), format="parquet"
+        )
+        .to_table(columns=["doc_id", "extracted_text", "success", "confidence"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(df, expected)
 
 
 def test_torn_shard_is_redone(tmp_path, files):

@@ -16,10 +16,28 @@ SF = "/root/testdata/sf0.001"
 def test_word_ngrams_and_jaccard():
     a = word_ngrams("a b c d")
     assert a == {("a", "b", "c"), ("b", "c", "d")}
-    assert word_ngrams("a b") == {("a", "b")}
+    # <n-word docs have NO grams (matches the SQL oracle's generate_series)
+    assert word_ngrams("a b") == set()
     assert word_ngrams("") == set()
     assert jaccard({1, 2}, {2, 3}) == 1 / 3
-    assert jaccard(set(), set()) == 1.0
+    # ∅ vs ∅ is NOT a match (SQL 0/0 → NULL excludes the pair)
+    assert jaccard(set(), set()) == 0.0
+
+
+def test_short_doc_pairs_excluded():
+    """Degenerate docs (empty / <3 words) never form pairs — engine matches
+    the SQL oracle, which yields an empty gram list and NULL jaccard."""
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": ["", "", "one two", "one two",
+                         "alpha beta gamma delta alpha beta gamma delta"],
+            }
+        )
+    )
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+    assert minhash_lsh_pairs(docs, threshold=0.5, num_partitions=2).count() == 0
 
 
 def test_minhash_identical_and_similar():
