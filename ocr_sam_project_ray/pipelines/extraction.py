@@ -40,6 +40,9 @@ class PipelineConfig:
     dedup_partitions: int = 16
     # "broadcast": payload-free two-pass dedup (column-pruned winner pre-pass
     #              + broadcast filter; needs the input path) — the scale path
+    # "bloom":     bounded-memory variant — Bloom of dup urls routes only
+    #              possible duplicates through a shuffled exact resolve;
+    #              for duplicate fractions too large to broadcast exactly
     # "shuffle":   full hash-shuffle dedup (any duplicate distribution)
     # "none":      skip dedup
     dedup_mode: str = "broadcast"
@@ -97,7 +100,11 @@ def build_extraction(
             compute_dup_winners(pages_path, num_partitions=min(8, cfg.dedup_partitions))
         )
         ds = ds.map_batches(make_winner_filter(winners_ref), batch_format="pyarrow")
-    elif cfg.dedup_mode in ("shuffle", "broadcast"):
+    elif cfg.dedup_mode == "bloom" and pages_path is not None:
+        from ..stages.dedup import dedup_by_url_bloom
+
+        ds = dedup_by_url_bloom(ds, pages_path, num_partitions=cfg.dedup_partitions)
+    elif cfg.dedup_mode in ("shuffle", "broadcast", "bloom"):
         ds = dedup_by_url(ds, num_partitions=cfg.dedup_partitions)
     if cfg.bucket_sort:
         ds = ds.repartition(cfg.dedup_partitions, keys=["size_bucket"])

@@ -80,18 +80,27 @@ def dedup_by_url(ds: Dataset, num_partitions: int = 16) -> Dataset:
 # Winner rule: keep the row with max warc_ts per url. Assumes warc_ts is
 # unique per (url) among duplicates (true of crawl re-fetch timestamps and
 # of the synthetic corpus); corpora violating this must use dedup_by_url.
+#
+# When even the DUPLICATED-url winner table outgrows the broadcast budget
+# (extreme duplicate fractions at 10^12 rows), use dedup_by_url_bloom: a
+# fixed-size Bloom filter of duplicated urls routes only possibly-duplicate
+# rows through a shuffled exact resolve — bounded memory at ANY dup count.
 
 DRIVER_WINNERS_MAX_ROWS = 5_000_000
 
 
-def compute_dup_winners(pages_path, num_partitions: int = 8) -> dict[str, int]:
-    """Map of duplicated url → winning warc_ts (int64 epoch us).
+def compute_dup_winners(pages_path, num_partitions: int = 8) -> pa.Table:
+    """Arrow table (url, max_ts) of DUPLICATED urls and their winning
+    warc_ts (int64 epoch us) — the broadcast side of the payload-free dedup.
 
-    Fast path: when the (url, warc_ts) projection is small (< 5M rows) the
-    winner map is computed with one pandas groupby on the driver — a
-    two-column projection of even a large shard is tiny, and the distributed
-    groupby's fixed shuffle cost would dominate. Above the threshold the
-    exact distributed combiner→groupby path runs."""
+    Fast path: when the (url, warc_ts) projection is small (< 5M rows ≈
+    120 MB of two columns) the winner table is computed with one pandas
+    groupby on the driver — the distributed groupby's fixed shuffle cost
+    would dominate. Above the threshold the exact distributed
+    combiner→groupby path runs; its OUTPUT (dup urls only — a small
+    fraction of a crawl) is what gets collected, never the full projection.
+    Corpora whose dup-url table itself is too large for a broadcast must
+    use :func:`dedup_by_url_bloom` instead."""
     import ray
     import ray.data
     from ray.data.aggregate import Max, Sum
@@ -106,46 +115,142 @@ def compute_dup_winners(pages_path, num_partitions: int = 8) -> dict[str, int]:
             n=("ts", "size"), max_ts=("ts", "max")
         )
         dups = agg[agg["n"] > 1]
-        return dict(zip(dups["url"], dups["max_ts"]))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
+        return pa.table(
             {
-                "url": batch["url"].to_pylist(),
-                "ts": pc.cast(batch["warc_ts"], pa.int64()).to_pylist(),
+                "url": pa.array(dups["url"].tolist(), pa.string()),
+                "max_ts": pa.array(dups["max_ts"].tolist(), pa.int64()),
             }
         )
-        agg = df.groupby("url", as_index=False).agg(
-            n=("ts", "size"), max_ts=("ts", "max")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"url": batch["url"], "ts": pc.cast(batch["warc_ts"], pa.int64())}
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = t.group_by("url").aggregate([("ts", "count"), ("ts", "max")])
+        return agg.rename_columns(["url", "n", "max_ts"])
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("url", num_partitions=num_partitions)
         .aggregate(Sum("n", alias_name="n"), Max("max_ts", alias_name="max_ts"))
     )
-    dups = agg.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], 1)).select(["url", "max_ts"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    return dict(zip(dups["url"], dups["max_ts"]))
+    # collect only the dup-url rows (bounded by the duplicate fraction)
+    parts = list(
+        agg.map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)).select(["url", "max_ts"]),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    if not parts:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "max_ts": pa.array([], pa.int64())})
+    dups = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "url": pc.cast(dups["url"], pa.string()),
+            "max_ts": pc.cast(dups["max_ts"], pa.int64()),
+        }
+    )
 
 
 def make_winner_filter(winners_ref):
-    """Streaming per-batch filter against the broadcast winner map."""
+    """Streaming per-batch filter against the broadcast winner table —
+    fully vectorized: ``pc.index_in`` probes the dup-url set, ``pc.take``
+    fetches each hit's winning ts, and a single Kleene-OR builds the keep
+    mask (rows of non-duplicated urls have a null index → keep)."""
 
     def drop_losers(batch: pa.Table) -> pa.Table:
         import ray
 
-        winners = ray.get(winners_ref)
-        if not winners:
+        winners: pa.Table = ray.get(winners_ref)
+        if winners.num_rows == 0:
             return batch
-        urls = batch["url"].to_pylist()
-        ts = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
-        mask = [u not in winners or t == winners[u] for u, t in zip(urls, ts)]
-        return batch.filter(pa.array(mask))
+        idx = pc.index_in(batch["url"], value_set=winners["url"].combine_chunks())
+        winner_ts = pc.take(winners["max_ts"].combine_chunks(), idx)
+        keep = pc.or_kleene(
+            pc.is_null(idx),
+            pc.equal(pc.cast(batch["warc_ts"], pa.int64()), winner_ts),
+        )
+        return batch.filter(pc.fill_null(keep, True))
 
     return drop_losers
+
+
+# ---------------------------------------------------------------------------
+# Bloom-routed dedup: bounded memory at ANY duplicate fraction
+# ---------------------------------------------------------------------------
+
+def compute_dup_url_bloom(pages_path, num_partitions: int = 8,
+                          m_bits: int = None):
+    """Packed Bloom bitmap of DUPLICATED urls, built fully distributed:
+    column-pruned read → per-batch Arrow count combiner → hash groupby →
+    urls with n > 1 → per-block bitmaps OR-merged (ops/bloom.py). Driver
+    state is m_bits/8 bytes (default 128 KB) regardless of dup count."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from ..ops.bloom import DEFAULT_M_BITS, bloom_from_dataset
+
+    m_bits = m_bits or DEFAULT_M_BITS
+    ds = ray.data.read_parquet(pages_path, columns=["url"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.table({"url": batch["url"]}).group_by("url").aggregate(
+            [("url", "count")]
+        )
+        return agg.rename_columns(["url", "n"])
+
+    dup_urls = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("url", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)).select(["url"]),
+            batch_format="pyarrow",
+        )
+    )
+    return bloom_from_dataset(dup_urls, "url", m_bits=m_bits)
+
+
+def dedup_by_url_bloom(
+    ds: Dataset, pages_path, num_partitions: int = 16, m_bits: int = None
+) -> Dataset:
+    """Payload-free dedup with BOUNDED broadcast state (the promised scale
+    path for extreme duplicate fractions, where even the dup-url winner
+    table outgrows a broadcast):
+
+      pass 1  Bloom bitmap of duplicated urls (compute_dup_url_bloom) —
+              fixed 128 KB broadcast, no false negatives.
+      pass 2a rows whose url MISSES the bloom are definitely unique →
+              stream straight through, zero shuffle.
+      pass 2b possible duplicates (bloom hits, including the ~0.1% false
+              positives) → hash repartition by url → vectorized keep-first
+              — the exact resolve; false positives are singleton groups and
+              survive unchanged.
+
+    The two branches re-execute upstream lineage (Ray Data has no streaming
+    split), so root this at a parquet read: re-reading is cheap next to
+    shuffling payloads, and only the duplicate fraction is ever shuffled."""
+    import ray
+
+    from ..ops.bloom import DEFAULT_M_BITS, bloom_contains
+
+    m_bits = m_bits or DEFAULT_M_BITS
+    bits_ref = ray.put(compute_dup_url_bloom(pages_path, m_bits=m_bits))
+
+    def branch(keep_hits: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            bits = ray.get(bits_ref)
+            mask = bloom_contains(bits, batch["url"].to_pylist(), m_bits=m_bits)
+            return batch.filter(pa.array(mask if keep_hits else ~mask))
+
+        return f
+
+    unique = ds.map_batches(branch(False), batch_format="pyarrow")
+    resolved = (
+        ds.map_batches(branch(True), batch_format="pyarrow")
+        .repartition(num_blocks=num_partitions, keys=["url"])
+        .map_batches(_keep_first_per_url, batch_format="pyarrow", batch_size=None)
+    )
+    return unique.union(resolved)
