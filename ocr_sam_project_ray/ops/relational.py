@@ -70,17 +70,16 @@ def q1_pricing_summary(sf_dir: str, num_partitions: int = 4):
                 ),
                 "base_cents": _cents(batch["l_extendedprice"]),
                 "disc_cents": _cents(disc_price),
-                "n": pa.array([1] * len(batch), pa.int64()),
             }
         )
-        import pandas as pd
-
-        agg = (
-            t.to_pandas()
-            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .sum()
+        # Arrow-native combiner: zero-copy in, no pandas round-trip
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"),
+             ([], "count_all")]
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "base_cents", "disc_cents", "n"]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -109,17 +108,33 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str, k: int = 10, num_partitions: int = 4):
-    """Shipping-priority top-k (TPC-H Q3 shape) via BROADCAST semi-joins:
-    the small sides (segment custkeys, then qualifying orderkeys) are
-    ray.put once and probed inside map_batches — no all-to-all join."""
+    """Shipping-priority top-k (TPC-H Q3 shape) with NO unbounded driver
+    state: the customer side (a filtered dimension projection) is broadcast
+    once and probed with a vectorized ``pc.is_in``; the qualifying-order
+    side stays a Dataset and semi-joins lineitem with the native hash
+    ``Dataset.join`` (left_semi) — at any scale the order set never lands
+    on the driver. Per-block Arrow combiners shrink the grouped sum, and
+    the final top-k is a distributed sort + limit."""
     configure_data_context()
     cutoff = pa.scalar(np.datetime64(CUTOFF_DATE, "us"))
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    custkeys = set(cust[cust.c_mktsegment == SEGMENT].c_custkey)
-    ck_ref = ray.put(custkeys)
+    # customer is the smallest relation: filter distributed, broadcast only
+    # the qualifying keys (one int64 array) for a vectorized probe
+    parts = [
+        b["c_custkey"].combine_chunks()
+        for b in ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"], SEGMENT)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    ]
+    cust_keys = pa.concat_arrays(parts) if parts else pa.array([], pa.int64())
+    ck_ref = ray.put(cust_keys)
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
@@ -128,45 +143,47 @@ def q3_top_orders(sf_dir: str, k: int = 10, num_partitions: int = 4):
     def filt_orders(batch: pa.Table) -> pa.Table:
         keys = ray.get(ck_ref)
         batch = batch.filter(pc.less(batch["o_orderdate"], cutoff))
-        mask = pa.array([c in keys for c in batch["o_custkey"].to_pylist()])
-        return batch.filter(mask).select(["o_orderkey"])
+        return batch.filter(pc.is_in(batch["o_custkey"], value_set=keys)).select(
+            ["o_orderkey"]
+        )
 
-    okeys = set()
-    for b in orders.map_batches(filt_orders, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        okeys.update(b["o_orderkey"].to_pylist())
-    ok_ref = ray.put(okeys)
+    okeys_ds = orders.map_batches(filt_orders, batch_format="pyarrow")
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["l_shipdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+
+    joined = li.join(
+        okeys_ds,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ok_ref)
-        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
-        mask = pa.array([o in keys for o in batch["l_orderkey"].to_pylist()])
-        batch = batch.filter(mask)
         rev = _cents(
             pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
         )
         t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue_cents": rev})
-        import pandas as pd
-
-        agg = t.to_pandas().groupby("l_orderkey", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = t.group_by("l_orderkey").aggregate([("revenue_cents", "sum")])
+        return agg.rename_columns(["l_orderkey", "revenue_cents"])
 
     from ray.data.aggregate import Sum
 
     grouped = (
-        li.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("l_orderkey", num_partitions=num_partitions)
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
-    df = grouped.to_pandas()
-    df = df.sort_values(["revenue_cents", "l_orderkey"], ascending=[False, True]).head(k)
-    return df.reset_index(drop=True)
+    top = grouped.sort(
+        ["revenue_cents", "l_orderkey"], descending=[True, False]
+    ).limit(k)
+    return top.to_pandas().reset_index(drop=True)
 
 
 SQL_Q3 = """
@@ -245,14 +262,15 @@ def events_hourly(sf_dir: str, num_partitions: int = 4):
             {
                 "user_id": batch["user_id"],
                 "window_id": pc.cast(win, pa.int64()),
-                "n_events": pa.array([1] * len(batch), pa.int64()),
                 "value_cents": _cents(batch["value"]),
             }
         )
-        import pandas as pd
-
-        agg = t.to_pandas().groupby(["user_id", "window_id"], as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = t.group_by(["user_id", "window_id"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
+        return agg.rename_columns(
+            ["user_id", "window_id", "n_events", "value_cents"]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -431,20 +449,18 @@ def events_stats_by_type(sf_dir: str, num_partitions: int = 4):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch["event_type"].to_pylist(),
-                "value": batch["value"].to_pylist(),
-                "cents": _cents(batch["value"]).to_pylist(),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "cents": _cents(batch["value"]),
             }
         )
-        agg = df.groupby("event_type", as_index=False).agg(
-            n=("value", "size"), vmin=("value", "min"), vmax=("value", "max"),
-            cents=("cents", "sum"),
+        agg = t.group_by("event_type").aggregate(
+            [([], "count_all"), ("value", "min"), ("value", "max"),
+             ("cents", "sum")]
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return agg.rename_columns(["event_type", "n", "vmin", "vmax", "cents"])
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -483,29 +499,32 @@ def suppliers_by_region(sf_dir: str):
     region = ray.data.read_parquet(
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
     ).to_pandas()
-    nation_to_region = dict(zip(nation.n_nationkey, nation.n_regionkey))
+    # pre-compose nation → region-name as two parallel arrays so the probe
+    # inside map_batches is a single vectorized index_in + take
     region_name = dict(zip(region.r_regionkey, region.r_name))
-    lookup_ref = ray.put((nation_to_region, region_name))
+    nation_keys = pa.array(nation.n_nationkey.tolist(), pa.int64())
+    nation_rname = pa.array(
+        [region_name[rk] for rk in nation.n_regionkey], pa.string()
+    )
+    lookup_ref = ray.put((nation_keys, nation_rname))
 
     sup = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        n2r, rname = ray.get(lookup_ref)
-        df = pd.DataFrame(
+        keys, rnames = ray.get(lookup_ref)
+        idx = pc.index_in(batch["s_nationkey"], value_set=keys)
+        t = pa.table(
             {
-                "r_name": [
-                    rname[n2r[nk]] for nk in batch["s_nationkey"].to_pylist()
-                ],
-                "n_suppliers": 1,
-                "acctbal_cents": _cents(batch["s_acctbal"]).to_pylist(),
+                "r_name": pc.take(rnames, idx),
+                "acctbal_cents": _cents(batch["s_acctbal"]),
             }
         )
-        agg = df.groupby("r_name", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = t.group_by("r_name").aggregate(
+            [([], "count_all"), ("acctbal_cents", "sum")]
+        )
+        return agg.rename_columns(["r_name", "n_suppliers", "acctbal_cents"])
 
     from ray.data.aggregate import Sum
 
@@ -544,8 +563,6 @@ def events_json_k(sf_dir: str, num_partitions: int = 2):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         ks = []
         for p in batch["props"].to_pylist():
             try:
@@ -554,15 +571,14 @@ def events_json_k(sf_dir: str, num_partitions: int = 2):
                 ks.append(int(k))
             except (ValueError, TypeError):
                 ks.append(0)
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch["event_type"].to_pylist(),
-                "n": 1,
-                "k_sum": ks,
+                "event_type": batch["event_type"],
+                "k": pa.array(ks, pa.int64()),
             }
         )
-        agg = df.groupby("event_type", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = t.group_by("event_type").aggregate([([], "count_all"), ("k", "sum")])
+        return agg.rename_columns(["event_type", "n", "k_sum"])
 
     from ray.data.aggregate import Sum
 

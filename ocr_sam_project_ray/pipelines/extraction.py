@@ -172,18 +172,20 @@ def batch_rollup(annotated: ray.data.Dataset, num_partitions: int = 8) -> ray.da
     import pyarrow as pa
 
     def partials(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        import pyarrow.compute as pc
 
-        df = pd.DataFrame(
+        ok = pc.cast(batch["success"], pa.int64())
+        t = pa.table(
             {
-                "url": batch["url"].to_pylist(),
-                "jobs": 1,
-                "completed": [1 if s else 0 for s in batch["success"].to_pylist()],
-                "errors": [0 if s else 1 for s in batch["success"].to_pylist()],
+                "url": batch["url"],
+                "completed": ok,
+                "errors": pc.subtract(1, ok),
             }
         )
-        agg = df.groupby("url", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = t.group_by("url").aggregate(
+            [([], "count_all"), ("completed", "sum"), ("errors", "sum")]
+        )
+        return agg.rename_columns(["url", "jobs", "completed", "errors"])
 
     from ray.data.aggregate import Sum
 
