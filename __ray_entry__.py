@@ -301,6 +301,33 @@ def _q_near_dup_verified(sf_dir: str):
     return near_dup_verified(_docs(sf_dir), threshold=0.8, num_partitions=4).to_pandas()
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    """Transitive near-dup clusters: verified pairs → distributed connected
+    components (node, component=min reachable id). Oracle: DuckDB recursive
+    CTE reachability over the brute-force pair set."""
+    from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
+    from ocr_sam_project_ray.ops.graph import connected_components
+
+    pairs = near_dup_verified(_docs(sf_dir), threshold=0.8, num_partitions=4)
+    return connected_components(pairs, num_partitions=4).to_pandas()
+
+
+def _q_dedup_docs_near_verified(sf_dir: str):
+    """The full distributed near-dedup drop chain: LSH candidates → exact
+    verify → connected components → anti-join losers. One survivor (min id)
+    per cluster; SQL-recomputed end to end."""
+    from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
+    from ocr_sam_project_ray.ops.graph import (
+        connected_components, drop_by_components,
+    )
+
+    docs = _docs(sf_dir)
+    pairs = near_dup_verified(docs, threshold=0.8, num_partitions=4)
+    comps = connected_components(pairs, num_partitions=4)
+    kept = drop_by_components(docs, comps, "doc_id", num_partitions=4)
+    return kept.select_columns(["doc_id"]).to_pandas().reset_index(drop=True)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from ocr_sam_project_ray.ops.dedup_text import minhash_lsh_pairs
 
@@ -506,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_exact": _q_dedup_docs_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dup_verified": _q_near_dup_verified,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "dedup_docs_near_verified": _q_dedup_docs_near_verified,
         "minhash_pairs": _q_minhash_pairs,        # rows-only (LSH not in SQL)
         "simhash_docs": _q_simhash_docs,          # rows-only
         "multimodal_meta": _q_multimodal_meta,
@@ -784,6 +813,15 @@ def _ops_oracles() -> dict[str, str]:
             WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
         """,
+        "near_dup_clusters": f"""
+            WITH RECURSIVE {_cluster_ctes(grams)}
+            SELECT node, component FROM comp
+        """,
+        "dedup_docs_near_verified": f"""
+            WITH RECURSIVE {_cluster_ctes(grams)}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        """,
         "multimodal_meta": """
             SELECT doc_id AS item_id, strlen(text) AS n_bytes,
                    md5(text) AS digest
@@ -828,6 +866,31 @@ def _ops_oracles() -> dict[str, str]:
         "events_json_k": R.SQL_EVENTS_JSON_K,
         "bpe_token_count": _bpe_oracle(),
     }
+
+
+def _cluster_ctes(grams: str) -> str:
+    """Shared CTE chain for the cluster oracles: brute-force 0.8-Jaccard
+    pairs → symmetric edges → recursive reachability → per-node min label
+    (= the connected component id). Independent recompute of the engine's
+    LSH→verify→connected-components chain."""
+    return f"""
+        g AS (SELECT doc_id, {grams} AS s FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        ),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(node, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, w.label FROM edges e JOIN walk w ON w.node = e.src
+        ),
+        comp AS (SELECT node, CAST(min(label) AS BIGINT) AS component
+                 FROM walk GROUP BY node)
+    """
 
 
 def _bpe_oracle() -> str:

@@ -306,19 +306,15 @@ def dedup_near_minhash(
     ds: Dataset, threshold: float = 0.7, id_col: str = "doc_id",
     text_col: str = "text", num_partitions: int = 8,
 ) -> Dataset:
-    """Near-dedup: drop every doc that appears as the larger id of a
-    near-dup pair (single-link step; documented simplification vs full
-    connected components — for chains a>b>c both b,c drop since each pairs
-    with a smaller survivor or a member of its chain)."""
-    pairs = minhash_lsh_pairs(ds, threshold, id_col, text_col, num_partitions)
-    losers = {r["id_b"] for r in pairs.take_all()}  # pair set is small
-    import pyarrow.compute as pc
+    """Near-dedup with TRANSITIVE cluster resolution: LSH candidate pairs →
+    distributed connected components (ops/graph.py) → one survivor (min id)
+    per component, losers removed by a hash anti-join. No loser-id set ever
+    lands on the driver — safe at any duplicate fraction."""
+    from .graph import connected_components, drop_by_components
 
-    loser_arr = pa.array(sorted(losers), pa.int64())
-    return ds.map_batches(
-        lambda b: b.filter(pc.invert(pc.is_in(b[id_col], value_set=loser_arr))),
-        batch_format="pyarrow",
-    )
+    pairs = minhash_lsh_pairs(ds, threshold, id_col, text_col, num_partitions)
+    comps = connected_components(pairs, num_partitions=num_partitions)
+    return drop_by_components(ds, comps, id_col, num_partitions=num_partitions)
 
 
 def simhash_table(
@@ -417,54 +413,100 @@ def near_dup_verified(
     ds: Dataset, threshold: float = 0.8, id_col: str = "doc_id",
     text_col: str = "text", num_partitions: int = 8,
     candidate_threshold: float = 0.5,
-):
+) -> Dataset:
     """The canonical two-stage near-dup pipeline (LSH candidates → exact
-    verification): MinHash+LSH proposes candidate pairs cheaply (only
-    same-bucket docs ever meet), then ONLY the candidate pairs are verified
-    with exact n-gram Jaccard — texts of candidate ids are broadcast (the
-    candidate set is small by construction), so the quadratic exact kernel
-    never sees the full corpus. Returns an arrow table
-    (id_a, id_b, jaccard_ppm) of pairs with exact Jaccard >= threshold."""
-    import pyarrow as pa
+    verification), FULLY DISTRIBUTED — nothing unbounded ever lands on the
+    driver:
 
-    import ray
+      1. MinHash+LSH proposes candidate pairs (only same-bucket docs meet);
+      2. the text table is semi-joined down to candidate ids (a hash
+         shuffle of only the candidate fraction's texts);
+      3. each pair picks up text_a / text_b via two hash joins;
+      4. exact word-3-gram Jaccard runs inside ``map_batches`` over pairs
+         only — the quadratic kernel never sees the full corpus.
+
+    Returns a Dataset (id_a, id_b, jaccard_ppm) with exact Jaccard >=
+    threshold (proven equal to the brute-force kernel by the SQL oracle)."""
+    import pyarrow.compute as pc
+
+    import ray.data
 
     cands = minhash_lsh_pairs(
         ds, threshold=candidate_threshold, id_col=id_col, text_col=text_col,
         num_partitions=num_partitions,
-    ).to_pandas()
-    if cands.empty:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "jaccard_ppm": pa.array([], pa.int64())})
-
-    needed = set(cands.id_a) | set(cands.id_b)
-    needed_arr = pa.array(sorted(needed), pa.int64())
-
-    import pyarrow.compute as pc
-
-    texts_df = (
-        ds.map_batches(
-            lambda b: b.filter(pc.is_in(b[id_col], value_set=needed_arr)),
-            batch_format="pyarrow",
+    ).materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard_ppm": pa.array([], pa.int64())})
         )
-        .select_columns([id_col, text_col])
-        .to_pandas()
-    )
-    text_by_id = dict(zip(texts_df[id_col], texts_df[text_col]))
-    sets = {i: word_ngrams(t) for i, t in text_by_id.items()}
+    # compact away empty blocks: the join shuffle drops empty blocks before
+    # its schema broadcast, which breaks sparse partitions downstream
+    cands = cands.repartition(num_blocks=min(num_partitions, n_cands))
 
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(zip(cands.id_a, cands.id_b)):
-        jac = jaccard(sets[a], sets[b])
-        if jac >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(int(jac * 1e6))
-    return pa.table(
-        {
-            "id_a": pa.array(out_a, pa.int64()),
-            "id_b": pa.array(out_b, pa.int64()),
-            "jaccard_ppm": pa.array(out_j, pa.int64()),
-        }
+    def explode_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cid": pa.concat_arrays(
+                    [batch["id_a"].combine_chunks(), batch["id_b"].combine_chunks()]
+                )
+            }
+        )
+
+    cand_ids = cands.map_batches(explode_ids, batch_format="pyarrow")
+    texts = ds.select_columns([id_col, text_col]).join(
+        cand_ids,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("cid",),
+    ).materialize()
+    # ≥2 rows whenever cands is non-empty; compact for the joins below
+    texts = texts.repartition(num_blocks=min(num_partitions, texts.count()))
+
+    # disjoint column names per side → no join suffix ambiguity
+    texts_a = texts.map_batches(
+        lambda t: pa.table({"_ja": t[id_col], "_text_a": t[text_col]}),
+        batch_format="pyarrow",
     )
+    texts_b = texts.map_batches(
+        lambda t: pa.table({"_jb": t[id_col], "_text_b": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    with_a = cands.join(
+        texts_a,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_a",),
+        right_on=("_ja",),
+    )
+    with_ab = with_a.join(
+        texts_b,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_b",),
+        right_on=("_jb",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, t_a, t_b in zip(
+            batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+            batch["_text_a"].to_pylist(), batch["_text_b"].to_pylist(),
+        ):
+            jac = jaccard(word_ngrams(t_a), word_ngrams(t_b))
+            if jac >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(jac * 1e6))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "jaccard_ppm": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

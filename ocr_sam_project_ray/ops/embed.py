@@ -265,15 +265,13 @@ def dedup_near_cosine(
     ds: Dataset, threshold: float, id_col: str = "vec_id",
     emb_col: str = "embedding", **ivf_kwargs,
 ) -> Dataset:
-    """Embedding-cosine near-dedup: drop the larger id of every IVF-bucketed
-    near pair (single-link step, mirroring dedup_near_minhash)."""
-    import pyarrow.compute as pc
+    """Embedding-cosine near-dedup with transitive cluster resolution:
+    IVF-bucketed near pairs → distributed connected components → one
+    survivor (min id) per component, losers removed by a hash anti-join
+    (mirrors dedup_near_minhash; no driver-side id set)."""
+    from .graph import connected_components, drop_by_components
 
     pairs = cosine_near_pairs_ivf(ds, threshold, id_col=id_col,
                                   emb_col=emb_col, **ivf_kwargs)
-    losers = {r["id_b"] for r in pairs.take_all()}  # pair set is small
-    loser_arr = pa.array(sorted(losers), pa.int64())
-    return ds.map_batches(
-        lambda b: b.filter(pc.invert(pc.is_in(b[id_col], value_set=loser_arr))),
-        batch_format="pyarrow",
-    )
+    comps = connected_components(pairs, num_partitions=4)
+    return drop_by_components(ds, comps, id_col, num_partitions=4)

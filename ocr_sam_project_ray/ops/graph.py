@@ -1,0 +1,261 @@
+"""Distributed connected components over a pair-edge Dataset — the
+transitive cluster resolution the near-dup drop step needs at scale
+(single-link by pair is wrong for chains a~b~c where (a,c) is not a direct
+pair; the standard is: one survivor per CONNECTED COMPONENT).
+
+Algorithm: iterative min-label propagation expressed entirely in Dataset
+ops. Each round is one hash join (push every node's current label across
+its edges) + one groupby-min (fold pushed labels into each node's label).
+Labels only ever decrease, so ``sum(label)`` is a monotone convergence
+witness: a round that leaves the sum unchanged is the fixpoint. The driver
+only ever sees that one scalar per round.
+
+Rounds needed = the largest component's min-label eccentricity (≤ its
+diameter). Near-dup clusters are dense and shallow, so a handful of rounds
+suffices; for adversarially long chains switch to a large-star/small-star
+scheme (noted, not needed for dedup workloads). ``max_rounds`` bounds the
+loop; non-convergence raises rather than silently returning partial labels.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..context import configure_data_context
+
+
+def coerce_empty_blocks(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Rewrite empty blocks to carry ``schema``. Hash-shuffle groupbys and
+    joins can emit schema-less empty blocks for empty partitions, which
+    breaks a downstream join's key-field resolution ("no match for field
+    reference"); this pins every block to the declared schema."""
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return t.select([f.name for f in schema]).cast(schema)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def _sym_edges(pairs: Dataset, a: str, b: str) -> Dataset:
+    """(id_a, id_b) pairs → symmetric (src, dst) edge list."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        src = pa.concat_arrays(
+            [batch[a].combine_chunks(), batch[b].combine_chunks()]
+        )
+        dst = pa.concat_arrays(
+            [batch[b].combine_chunks(), batch[a].combine_chunks()]
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    return pairs.map_batches(explode, batch_format="pyarrow")
+
+
+def connected_components(
+    pairs: Dataset,
+    a: str = "id_a",
+    b: str = "id_b",
+    num_partitions: int = 4,
+    max_rounds: int = 12,
+) -> Dataset:
+    """(node, component) for every node appearing in ``pairs``; component =
+    the minimum node id reachable from it. Fully distributed: per round one
+    join + one groupby shuffle, one scalar on the driver."""
+    from ray.data.aggregate import Min, Sum
+
+    import ray.data
+
+    configure_data_context()
+    edges = _sym_edges(pairs, a, b).materialize()  # reused every round
+    if edges.count() == 0:  # empty pair set → schema-stable empty result
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+        )
+
+    label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    # initial labels: each node labels itself
+    labels = coerce_empty_blocks(
+        edges.map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node", num_partitions=num_partitions)
+        .aggregate(Min("label", alias_name="label")),
+        label_schema,
+    ).materialize()
+
+    def _checksum(lab: Dataset) -> int:
+        row = lab.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"]) if row and row["s"] is not None else 0
+
+    # The per-round src→dst label push is a partition-local Arrow join:
+    # tag both sides, hash-repartition on the key, and acero-join inside
+    # each block. (Ray's distributed Dataset.join is avoided here on
+    # purpose: its shuffle drops empty input blocks before the schema
+    # broadcast, and the iterated labels table legitimately carries empty
+    # blocks for empty hash partitions.)
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["node"],
+                "dst": pa.nulls(t.num_rows, pa.int64()),
+                "label": t["label"],
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["src"],
+                "dst": t["dst"],
+                "label": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def local_push(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return label_schema.empty_table()
+        lab = t.filter(pc.is_valid(t["label"])).select(["key", "label"])
+        edg = t.filter(pc.is_valid(t["dst"])).select(["key", "dst"])
+        pushed = edg.join(lab, keys="key", join_type="inner")
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pushed["dst"].combine_chunks(),
+                        lab["key"].combine_chunks(),
+                    ]
+                ),
+                "label": pa.concat_arrays(
+                    [
+                        pushed["label"].combine_chunks(),
+                        lab["label"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    prev = _checksum(labels)
+    for _ in range(max_rounds):
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow").union(
+            edges.map_batches(tag_edges, batch_format="pyarrow")
+        )
+        folded = tagged.repartition(
+            num_blocks=num_partitions, keys=["key"]
+        ).map_batches(local_push, batch_format="pyarrow", batch_size=None)
+        labels = coerce_empty_blocks(
+            folded.groupby("node", num_partitions=num_partitions).aggregate(
+                Min("label", alias_name="label")
+            ),
+            label_schema,
+        ).materialize()
+        cur = _checksum(labels)
+        if cur == prev:
+            return labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+                batch_format="pyarrow",
+            )
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(pathologically long chain — raise max_rounds or use star-contraction)"
+    )
+
+
+def component_losers(components: Dataset) -> Dataset:
+    """Nodes that are NOT their component's minimum (the drop set)."""
+    return components.map_batches(
+        lambda t: t.filter(pc.not_equal(t["node"], t["component"])).select(
+            ["node"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_NP_DTYPES = {
+    "float": "float32", "double": "float64",
+    "int64": "int64", "int32": "int32",
+}
+
+
+def _list_columns(schema: pa.Schema) -> list[tuple[str, str]]:
+    """(name, numpy dtype) for primitive-valued list columns — Ray's hash
+    join rejects list-typed non-key fields, so they ride through joins
+    packed as binary."""
+    out = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or \
+                pa.types.is_fixed_size_list(t):
+            np_dtype = _NP_DTYPES.get(str(t.value_type))
+            if np_dtype is not None:
+                out.append((field.name, np_dtype))
+    return out
+
+
+def drop_by_components(
+    ds: Dataset, components: Dataset, id_col: str, num_partitions: int = 4
+) -> Dataset:
+    """Keep one survivor (the min id) per component: anti-join ``ds``
+    against the loser set — a shuffle, never a driver-side id set.
+
+    List-typed columns (e.g. embeddings) are packed to binary for the join
+    and unpacked bit-identically after, because the hash-shuffle join does
+    not support list non-key fields."""
+    import numpy as np
+
+    # compact the loser side: the join's shuffle loses its schema broadcast
+    # when an input's first block is empty, so feed it only non-empty blocks
+    losers = component_losers(components).materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return ds
+    losers = losers.repartition(num_blocks=min(num_partitions, n_losers))
+
+    list_cols = _list_columns(ds.schema().base_schema)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        for name, np_dtype in list_cols:
+            vals = batch[name].to_pylist()
+            packed = pa.array(
+                [None if v is None else np.asarray(v, dtype=np_dtype).tobytes()
+                 for v in vals],
+                pa.binary(),
+            )
+            batch = batch.set_column(
+                batch.column_names.index(name), name, packed
+            )
+        return batch
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        for name, np_dtype in list_cols:
+            vals = batch[name].to_pylist()
+            restored = pa.array(
+                [None if v is None else np.frombuffer(v, dtype=np_dtype)
+                 for v in vals],
+                pa.list_(pa.from_numpy_dtype(np.dtype(np_dtype))),
+            )
+            batch = batch.set_column(
+                batch.column_names.index(name), name, restored
+            )
+        return batch
+
+    if list_cols:
+        ds = ds.map_batches(pack, batch_format="pyarrow")
+    kept = ds.join(
+        losers,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_on=("node",),
+    )
+    if list_cols:
+        kept = kept.map_batches(unpack, batch_format="pyarrow")
+    return kept

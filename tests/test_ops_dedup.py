@@ -111,14 +111,36 @@ def test_simhash_near_pairs_on_docs(docs):
     assert (sim.hamming <= 10).all()
 
 
+def _union_find_survivors(all_ids, pairs):
+    """Reference connected-components survivors: min id per component."""
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i for i in all_ids if find(i) == i}
+
+
 def test_dedup_near_minhash_drops_losers(docs):
+    """Cluster-resolved drop: exactly one survivor (the min id) per
+    connected component of the LSH pair graph — verified against a
+    union-find recompute of the same pairs."""
     pairs = minhash_lsh_pairs(docs, threshold=0.7, num_partitions=2).to_pandas()
-    kept = dedup_near_minhash(docs, threshold=0.7, num_partitions=2).to_pandas()
-    kept_ids = set(kept.doc_id)
-    for b in pairs.id_b:
-        assert b not in kept_ids
-    for a in set(pairs.id_a) - set(pairs.id_b):
-        assert a in kept_ids
+    all_ids = set(docs.to_pandas().doc_id)
+    expected = _union_find_survivors(all_ids, list(zip(pairs.id_a, pairs.id_b)))
+    kept = set(
+        dedup_near_minhash(docs, threshold=0.7, num_partitions=2)
+        .to_pandas()
+        .doc_id
+    )
+    assert kept == expected
 
 
 def test_near_dup_verified_matches_exact_kernel(docs):

@@ -100,5 +100,10 @@ def test_cosine_near_pairs_ivf_and_dedup(emb, ref):
     kept = dedup_near_cosine(emb, threshold=0.4, n_centroids=4,
                              num_partitions=2).to_pandas()
     kept_ids = set(kept.vec_id)
-    for _, r in got.iterrows():
-        assert r.id_b not in kept_ids
+    # cluster-resolved: exactly one survivor (min id) per pair-graph
+    # component — union-find recompute over the SAME bucketed pairs
+    from test_ops_dedup import _union_find_survivors
+
+    expected = _union_find_survivors(set(ids.tolist()),
+                                     list(zip(got.id_a, got.id_b)))
+    assert kept_ids == expected
