@@ -68,6 +68,10 @@ class PipelineConfig:
     # small parse batches absorb the synthetic corpus's skew; flip on for
     # corpora with multi-MB tails)
     bucket_sort: bool = False
+    # optional per-error-class retry/backoff around the fused parse kernel
+    # (ops/retry.py; parity: ocr_service.py:448-502). None = off (the local
+    # parse is deterministic); set for flaky/remote kernels. Task path only.
+    retry_policy: object = None
 
 
 def read_pages(sf_dir: str, columns: Optional[list[str]] = None) -> ray.data.Dataset:
@@ -119,8 +123,13 @@ def build_extraction(
                 concurrency=cfg.parse_concurrency,
                 num_cpus=1,
             )
+        kernel = extract_segment_annotate_batch
+        if cfg.retry_policy is not None:
+            from ..ops.retry import with_retries
+
+            kernel = with_retries(kernel, cfg.retry_policy)
         return ds.map_batches(
-            extract_segment_annotate_batch,
+            kernel,
             batch_format="pyarrow",
             batch_size=cfg.parse_batch_size,
         )
