@@ -182,6 +182,18 @@ def _q_project_names(sf_dir: str):
     ].reset_index(drop=True)
 
 
+def _q_project_names_b(sf_dir: str):
+    """Name-split projection, flavor B (crm_integrator/app.py:377-394) —
+    the NdosPersonasOCR surnames-last convention, config-selected."""
+    from ocr_sam_project_ray.pipelines.extraction import project_persons
+
+    df = project_persons(_annotated(sf_dir), name_flavor="b").to_pandas()
+    return df[
+        ["doc_id", "secuencia", "nombre", "apellido_paterno",
+         "apellido_materno", "nombre_segundo"]
+    ].reset_index(drop=True)
+
+
 def _q_text_scores(sf_dir: str):
     """Deterministic text-analysis scorer (the reference's complementary
     analyzer seam, mistral_service.py:43-273 → stages/scorer.py)."""
@@ -522,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans_agg": _q_extract_spans_agg,
         "extract_fecha_iso": _q_extract_fecha_iso,
         "project_names": _q_project_names,
+        "project_names_b": _q_project_names_b,
         "text_scores": _q_text_scores,
         "accepted_results": _q_accepted_results,
         "dedup_pages": _q_dedup_pages,
@@ -640,6 +653,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(parts) > 2 THEN parts[3] ELSE '' END AS apellido_materno,
                    CASE WHEN len(parts) > 3
                         THEN array_to_string(parts[4:], ' ') ELSE '' END AS nombre_segundo
+            FROM p
+        """,
+        "project_names_b": f"""
+            WITH p AS (SELECT doc_id, seq AS secuencia,
+                              string_split(nombre_completo, ' ') AS parts
+                       FROM read_parquet('{ge}'))
+            SELECT doc_id, secuencia,
+                   parts[1] AS nombre,
+                   CASE WHEN len(parts) >= 2 THEN parts[len(parts)-1] ELSE '' END
+                     AS apellido_paterno,
+                   CASE WHEN len(parts) >= 3 THEN parts[len(parts)] ELSE '' END
+                     AS apellido_materno,
+                   CASE WHEN len(parts) > 3
+                        THEN array_to_string(parts[2:len(parts)-2], ' ')
+                        ELSE '' END AS nombre_segundo
             FROM p
         """,
         **_ops_oracles(),

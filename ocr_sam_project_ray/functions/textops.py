@@ -162,3 +162,19 @@ def split_name(nombre_completo: str) -> dict[str, str]:
         "apellido_materno": tokens[2] if len(tokens) > 2 else "",
         "nombre_segundo": " ".join(tokens[3:]) if len(tokens) > 3 else "",
     }
+
+
+def split_name_b(nombre_completo: str) -> dict[str, str]:
+    """Name split, flavor B (crm_integrator/app.py:377-394, the
+    NdosPersonasOCR schema convention): surnames come LAST —
+    tok0 → nombre, middle tokens → nombre_segundo, tok[-2] →
+    apellido_paterno (≥2 tokens), tok[-1] → apellido_materno (≥3 tokens).
+    Faithfully reproduces the reference's 2-token quirk where
+    apellido_paterno == nombre (tokens[-2] of a 2-list is tokens[0])."""
+    tokens = (nombre_completo or "").split()
+    return {
+        "nombre": tokens[0] if tokens else "",
+        "nombre_segundo": " ".join(tokens[1:-2]) if len(tokens) > 3 else "",
+        "apellido_paterno": tokens[-2] if len(tokens) >= 2 else "",
+        "apellido_materno": tokens[-1] if len(tokens) >= 3 else "",
+    }

@@ -168,9 +168,18 @@ def run_extraction(
     return build_extraction(read_pages(sf_dir), cfg, pages_path=paths["pages"])
 
 
-def project_persons(annotated: ray.data.Dataset) -> ray.data.Dataset:
-    """Annotated segments → flat per-person projection (CRM-payload analog)."""
-    return annotated.map_batches(project_persons_batch, batch_format="pyarrow")
+def project_persons(
+    annotated: ray.data.Dataset, name_flavor: str = "a"
+) -> ray.data.Dataset:
+    """Annotated segments → flat per-person projection (CRM-payload analog).
+    ``name_flavor`` selects the name-split convention: "a" =
+    ocr_processor/app.py:499-503, "b" = crm_integrator/app.py:377-394."""
+    import functools
+
+    return annotated.map_batches(
+        functools.partial(project_persons_batch, name_flavor=name_flavor),
+        batch_format="pyarrow",
+    )
 
 
 def batch_rollup(annotated: ray.data.Dataset, num_partitions: int = 8) -> ray.data.Dataset:

@@ -15,10 +15,14 @@ import pyarrow as pa
 
 from ..functions.textops import (
     parse_date_es, parse_monto, safe_number, safe_string, split_name,
+    split_name_b,
 )
 
+NAME_FLAVORS = {"a": split_name, "b": split_name_b}
 
-def project_persons_batch(batch: pa.Table) -> pa.Table:
+
+def project_persons_batch(batch: pa.Table, name_flavor: str = "a") -> pa.Table:
+    splitter = NAME_FLAVORS[name_flavor]
     doc_ids = batch["doc_id"].to_pylist()
     entities = batch["entities"].to_pylist()
     labels = batch["type_label"].to_pylist()
@@ -39,7 +43,7 @@ def project_persons_batch(batch: pa.Table) -> pa.Table:
             nombre_completo = safe_string(ent["nombre_completo"])
             if not nombre_completo:
                 continue
-            parts = split_name(nombre_completo)
+            parts = splitter(nombre_completo)
             monto_num = ent["monto_numerico"]
             if monto_num == 0.0 and ent["monto"]:
                 monto_num = parse_monto(ent["monto"])

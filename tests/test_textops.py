@@ -76,3 +76,28 @@ def test_split_name_flavor_a():
     }
     assert T.split_name("ANA")["apellido_paterno"] == ""
     assert T.split_name("")["nombre"] == ""
+
+
+def test_split_name_flavor_b():
+    # crm_integrator/app.py:377-394: surnames LAST; middle → nombre_segundo
+    s = T.split_name_b("JUAN CARLOS MARTINEZ ROJAS QUINTERO")
+    assert s == {
+        "nombre": "JUAN",
+        "nombre_segundo": "CARLOS MARTINEZ",
+        "apellido_paterno": "ROJAS",
+        "apellido_materno": "QUINTERO",
+    }
+    assert T.split_name_b("ANA LOPEZ DIAZ") == {
+        "nombre": "ANA", "nombre_segundo": "",
+        "apellido_paterno": "LOPEZ", "apellido_materno": "DIAZ",
+    }
+    # the reference's 2-token quirk: tokens[-2] of a 2-list is tokens[0]
+    s2 = T.split_name_b("JUAN PEREZ")
+    assert s2["nombre"] == "JUAN"
+    assert s2["apellido_paterno"] == "JUAN"
+    assert s2["apellido_materno"] == ""
+    assert T.split_name_b("ANA") == {
+        "nombre": "ANA", "nombre_segundo": "",
+        "apellido_paterno": "", "apellido_materno": "",
+    }
+    assert T.split_name_b("")["nombre"] == ""
