@@ -304,20 +304,47 @@ def _compose_page(rng: random.Random, url: str, body_scale: int = 1):
 
 def _render_pdf_like(rng: random.Random, doc_lines: list[str]) -> bytes:
     """Render the composed document as the PDF-like fixture (see
-    functions/pdf_text.py): positioned records, SCRAMBLED within each page,
-    1-3 pages — the layout parser must sort by (y, x) to recover order."""
+    functions/pdf_text.py). The layout parser must perform REAL work to
+    recover ``doc_lines`` byte-identically:
+
+    - records are SCRAMBLED within each page → (y, x) reading-order sort;
+    - ~half of the wide pages are laid out in TWO COLUMNS (first half of
+      the page's lines at x∈[50,120), second half restarting at y=60 at
+      x∈[400,470)) → naive global (y, x) sorting interleaves the columns
+      and fails; intra-column x ranges are kept narrower than COLUMN_GAP
+      so column detection is unambiguous;
+    - multi-page documents carry a repeated HEADER (y=20) and FOOTER
+      (y=1e6) on every page → suppressed by the repetition heuristic;
+    - some pages carry a size-4 WATERMARK record → suppressed by size.
+
+    The expected text is composed FIRST (doc_lines); this renderer only
+    encodes it — the parser is never consulted during generation."""
     n_pages = min(len(doc_lines), rng.randrange(1, 4))
     bounds = sorted(rng.sample(range(1, len(doc_lines)), n_pages - 1)) \
         if n_pages > 1 else []
+    header = f"DOC-{rng.randrange(10**6)} EXPEDIENTE CONFIDENCIAL"
+    footer = "documento generado automaticamente - no firmar"
     pages = []
     start = 0
     for b in bounds + [len(doc_lines)]:
         chunk = doc_lines[start:b]
         start = b
-        records = [
-            f"@{(i + 1) * 10},{rng.randrange(1, 100)}:{ln}"
-            for i, ln in enumerate(chunk)
-        ]
+        two_cols = len(chunk) >= 6 and rng.random() < 0.5
+        records = []
+        if two_cols:
+            k = len(chunk) // 2
+            for i, ln in enumerate(chunk[:k]):
+                records.append(f"@{60 + i * 10},{rng.randrange(50, 120)}:{ln}")
+            for j, ln in enumerate(chunk[k:]):
+                records.append(f"@{60 + j * 10},{rng.randrange(400, 470)}:{ln}")
+        else:
+            for i, ln in enumerate(chunk):
+                records.append(f"@{60 + i * 10},{rng.randrange(50, 150)}:{ln}")
+        if n_pages >= 2:  # repeated boilerplate — parser must suppress
+            records.append(f"@20,{rng.randrange(50, 150)}:{header}")
+            records.append(f"@1000000,{rng.randrange(50, 150)},s8:{footer}")
+        if rng.random() < 0.3:  # fine-print watermark — dropped by size
+            records.append(f"@{rng.randrange(60, 500)},{rng.randrange(50, 150)},s4:BORRADOR")
         rng.shuffle(records)
         pages.append("\n".join(records))
     raw = ("%PDF-1.4\n" + "\x0c".join(pages) + "\n%%EOF").encode("utf-8")
@@ -543,7 +570,7 @@ def split_offsets_by_url(pages_t: pa.Table, n_files: int) -> list[tuple[int, int
 CACHE_ROOT = os.environ.get("OCR_SAM_RAY_CORPUS_DIR", "/tmp/ocr_sam_ray_corpus")
 
 # bump when generator output changes so stale caches are never read
-CORPUS_VERSION = "v6"
+CORPUS_VERSION = "v7"
 
 # pages per scale tier (sf names mirror /root/testdata convention); bench
 # tiers use body_scale>1 (larger pages) so compute dominates fixed costs
