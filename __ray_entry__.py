@@ -354,10 +354,20 @@ def _q_simhash_docs(sf_dir: str):
 
 
 def _q_multimodal_meta(sf_dir: str):
+    """Full typed metadata surface of the decode stage: byte accounting +
+    digest (real), container format (real magic-byte sniffing), and the
+    digest-derived stub dims / EXIF fields — every column SQL-recomputed."""
     from ocr_sam_project_ray.ops.multimodal import decode_payloads, payloads_from_documents
 
     ds = decode_payloads(payloads_from_documents(_docs(sf_dir)))
-    return ds.select_columns(["item_id", "n_bytes", "digest"]).to_pandas().reset_index(drop=True)
+    return (
+        ds.select_columns(
+            ["item_id", "n_bytes", "digest", "format", "width", "height",
+             "orientation", "dpi"]
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
 
 
 def _embeddings(sf_dir: str):
@@ -850,10 +860,28 @@ def _ops_oracles() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
         """,
+        # digest-byte helpers: byte k of md5 = hex chars 2k+1..2k+2
         "multimodal_meta": """
-            SELECT doc_id AS item_id, strlen(text) AS n_bytes,
-                   md5(text) AS digest
-            FROM documents
+            WITH m AS (
+              SELECT doc_id AS item_id, strlen(text) AS n_bytes,
+                     md5(text) AS digest, text FROM documents
+            )
+            SELECT item_id, n_bytes, digest,
+                   CASE WHEN starts_with(text, 'GIF87a')
+                          OR starts_with(text, 'GIF89a') THEN 'gif'
+                        WHEN starts_with(text, 'BM') THEN 'bmp'
+                        WHEN starts_with(text, 'RIFF')
+                             AND substr(text, 9, 4) = 'WEBP' THEN 'webp'
+                        ELSE 'unknown' END AS format,
+                   CAST(64 + CAST('0x' || substr(digest, 1, 2) AS INT) % 192
+                        AS INT) AS width,
+                   CAST(64 + CAST('0x' || substr(digest, 3, 2) AS INT) % 192
+                        AS INT) AS height,
+                   CAST(1 + CAST('0x' || substr(digest, 5, 2) AS INT) % 8
+                        AS INT) AS orientation,
+                   CAST(72 + (CAST('0x' || substr(digest, 7, 2) AS INT) % 4) * 72
+                        AS INT) AS dpi
+            FROM m
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e

@@ -30,9 +30,32 @@ PAYLOAD_SCHEMA = pa.schema(
 )
 
 
+def sniff_format(payload: bytes) -> str:
+    """Container-format sniffing from magic bytes — REAL (no decode lib
+    needed) and the first thing any production media pipeline does before
+    routing payloads to per-format decoders. Mirrored exactly by the SQL
+    oracle for ASCII-representable magics (utf-8 text payloads can never
+    start with the PNG/JPEG byte magics — 0x89/0xFF are not valid utf-8
+    lead bytes — so the oracle's CASE is exact)."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    return "unknown"
+
+
 class DecodePayload:
     """Actor-pool stage: (item_id, media_type, payload) → typed metadata +
-    a feature digest. Real decoder when available, deterministic stub else."""
+    a feature digest. Real decoder when available, deterministic stub else.
+    Output is production-shaped: container format (real sniffing), pixel
+    dimensions, EXIF-like orientation (1-8) and dpi — stub values derived
+    from the payload digest so the whole schema is exercised end to end."""
 
     def __init__(self) -> None:
         try:  # pragma: no cover - Pillow absent in this container
@@ -47,6 +70,13 @@ class DecodePayload:
         # NOT a real decode — replace with the real kernel in production.
         d = hashlib.md5(payload).digest()
         return 64 + d[0] % 192, 64 + d[1] % 192, "stub"
+
+    @staticmethod
+    def exif_stub(payload: bytes) -> tuple[int, int]:
+        """EXIF-like (orientation, dpi) — digest-derived stub, recomputed
+        exactly by the SQL oracle (bytes 2-3 of the md5 digest)."""
+        d = hashlib.md5(payload).digest()
+        return 1 + d[2] % 8, 72 + (d[3] % 4) * 72
 
     def _decode(self, payload: bytes) -> tuple[int, int, str]:
         """Real Pillow decode when the library is present AND the payload is
@@ -66,6 +96,7 @@ class DecodePayload:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         n_bytes, digests, widths, heights, backends = [], [], [], [], []
+        formats, orientations, dpis = [], [], []
         for p in payloads:
             p = p or b""
             n_bytes.append(len(p))
@@ -74,12 +105,19 @@ class DecodePayload:
             widths.append(w)
             heights.append(h)
             backends.append(backend)
+            formats.append(sniff_format(p))
+            o, dpi = self.exif_stub(p)
+            orientations.append(o)
+            dpis.append(dpi)
         out = batch.drop_columns(["payload"])  # blobs never travel past decode
         return (
             out.append_column("n_bytes", pa.array(n_bytes, pa.int64()))
             .append_column("digest", pa.array(digests, pa.string()))
+            .append_column("format", pa.array(formats, pa.string()))
             .append_column("width", pa.array(widths, pa.int32()))
             .append_column("height", pa.array(heights, pa.int32()))
+            .append_column("orientation", pa.array(orientations, pa.int32()))
+            .append_column("dpi", pa.array(dpis, pa.int32()))
             .append_column("decode_backend", pa.array(backends, pa.string()))
         )
 

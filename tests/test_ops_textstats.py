@@ -61,8 +61,25 @@ def test_multimodal_decode_plumbing():
     assert (out.decode_backend == "stub").all()  # no Pillow in container
     assert (out.n_bytes > 0).all()
     assert out.width.between(64, 255).all() and out.height.between(64, 255).all()
+    assert out.orientation.between(1, 8).all()
+    assert set(out.dpi) <= {72, 144, 216, 288}
     # deterministic across runs
     out2 = decode_payloads(payloads_from_documents(docs)).to_pandas()
     a = out.sort_values("item_id").reset_index(drop=True)
     b = out2.sort_values("item_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_format_sniffing_magic_bytes():
+    """Real container sniffing on hand-crafted magic-byte payloads."""
+    from ocr_sam_project_ray.ops.multimodal import sniff_format
+
+    assert sniff_format(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) == "png"
+    assert sniff_format(b"\xff\xd8\xff\xe0" + b"\x00" * 16) == "jpeg"
+    assert sniff_format(b"GIF89a" + b"\x00" * 10) == "gif"
+    assert sniff_format(b"GIF87a") == "gif"
+    assert sniff_format(b"BM" + b"\x00" * 20) == "bmp"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WAVE") == "unknown"
+    assert sniff_format(b"plain text payload") == "unknown"
+    assert sniff_format(b"") == "unknown"
