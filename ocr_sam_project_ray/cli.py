@@ -68,9 +68,27 @@ def cmd_resume(args) -> int:
     return 0
 
 
+def cmd_status(args) -> int:
+    """Read-side status query (no Ray session needed — lineage + parquet)."""
+    from .pipelines.status import run_status, shard_status, url_status
+
+    if args.shard:
+        print(json.dumps(shard_status(args.out, args.shard)))
+    elif args.url:
+        print(json.dumps(url_status(args.out, args.url)))
+    else:
+        print(json.dumps(run_status(args.out)))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ocr_sam_project_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("status")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--shard", default=None)
+    sp.add_argument("--url", default=None)
+    sp.set_defaults(fn=cmd_status, num_cpus=None)
     for name, fn in [("run", cmd_run), ("resume", cmd_resume)]:
         sp = sub.add_parser(name)
         sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")

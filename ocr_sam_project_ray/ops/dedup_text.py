@@ -95,16 +95,12 @@ def simhash64(text: str) -> int:
     toks = (text or "").split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _md5_64(t.encode("utf-8"))
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += 2 * bits - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    hashes = np.array([_md5_64(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    # (tokens × 64) bit matrix in one vectorized shift — no per-bit Python
+    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    weights = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    return int(weights.sum())
 
 
 def hamming64(a: int, b: int) -> int:

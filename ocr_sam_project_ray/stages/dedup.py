@@ -101,26 +101,36 @@ def compute_dup_winners(pages_path, num_partitions: int = 8) -> pa.Table:
     fraction of a crawl) is what gets collected, never the full projection.
     Corpora whose dup-url table itself is too large for a broadcast must
     use :func:`dedup_by_url_bloom` instead."""
+    import pyarrow.dataset as pads
+
     import ray
     import ray.data
     from ray.data.aggregate import Max, Sum
 
-    ds = ray.data.read_parquet(pages_path, columns=["url", "warc_ts"])
-    if ds.count() <= DRIVER_WINNERS_MAX_ROWS:
-        import pandas as pd
-
-        df = ds.to_pandas()
-        df["ts"] = df["warc_ts"].astype("int64")
-        agg = df.groupby("url", as_index=False).agg(
-            n=("ts", "size"), max_ts=("ts", "max")
-        )
-        dups = agg[agg["n"] > 1]
+    # row count from parquet METADATA (no data read, no Ray tasks) decides
+    # the path; the fast path then does ONE direct driver read of the
+    # two-column projection — a few MB — instead of spinning up an executor
+    # twice (count + collect). This is the pipeline's only non-scaling
+    # pre-pass, so its constant matters for small-N efficiency.
+    frags = pads.dataset(pages_path, format="parquet")
+    n_rows = sum(f.metadata.num_rows for f in frags.get_fragments())
+    if n_rows <= DRIVER_WINNERS_MAX_ROWS:
+        t = frags.to_table(columns=["url", "warc_ts"])
+        agg = pa.table(
+            {
+                "url": t["url"],
+                "ts": pc.cast(t["warc_ts"], pa.int64()),
+            }
+        ).group_by("url").aggregate([("ts", "count"), ("ts", "max")])
+        agg = agg.rename_columns(["url", "n", "max_ts"])
+        dups = agg.filter(pc.greater(agg["n"], 1))
         return pa.table(
             {
-                "url": pa.array(dups["url"].tolist(), pa.string()),
-                "max_ts": pa.array(dups["max_ts"].tolist(), pa.int64()),
+                "url": pc.cast(dups["url"], pa.string()),
+                "max_ts": dups["max_ts"],
             }
         )
+    ds = ray.data.read_parquet(pages_path, columns=["url", "warc_ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(

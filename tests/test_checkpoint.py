@@ -79,6 +79,51 @@ def test_resume_after_partial_run(tmp_path, files):
     pd.testing.assert_frame_equal(resumed, expected)
 
 
+def test_status_query_api(tmp_path, files):
+    """Read-side status surface (status/app.py + batch_status/app.py
+    analog): shard status, aggregate run status with derived progress,
+    per-url status from written output."""
+    from ocr_sam_project_ray.pipelines.status import (
+        run_status, shard_status, url_status,
+    )
+
+    out = str(tmp_path / "status")
+    assert run_status(out)["status"] == "queued"
+
+    run_checkpointed(files, out, PipelineConfig(dedup_partitions=2), n_shards=2)
+
+    s = shard_status(out, "00000")
+    assert s["status"] == "completed" and s["row_count"] > 0
+    assert shard_status(out, "99999")["status"] == "not_found"
+
+    r = run_status(out)
+    assert r["status"] == "completed"
+    assert r["shards_planned"] == 2 and r["shards_completed"] == 2
+    assert r["row_count"] == r["success_count"] + r["error_count"]
+
+    # torn shard → partial_completion
+    os.remove(os.path.join(out, "lineage", "00001.json"))
+    r2 = run_status(out)
+    assert r2["status"] == "partial_completion"
+    assert r2["shards_completed"] == 1
+
+    # per-url query over the written parquet
+    import pyarrow.dataset as pads2
+
+    any_url = (
+        pads2.dataset(
+            glob.glob(os.path.join(out, "shard=*", "*.parquet")), format="parquet"
+        )
+        .to_table(columns=["url"])
+        .column("url")[0]
+        .as_py()
+    )
+    u = url_status(out, any_url)
+    assert u["status"] in ("completed", "partial_completion", "failed")
+    assert u["total_jobs"] == u["completed_count"] + u["error_count"]
+    assert url_status(out, "https://no-such-url.example/")["status"] == "not_found"
+
+
 def test_changed_shard_plan_is_redone(tmp_path, files):
     """Resuming with a different n_shards (or input list) must NOT skip
     shards whose zero-padded id collides with a stale lineage record — the

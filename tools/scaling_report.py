@@ -14,8 +14,9 @@ import sys
 import time
 
 CHILD = r"""
-import ray, time, shutil, json, sys
+import os, ray, time, shutil, json, sys
 ncpu, reps = int(sys.argv[1]), int(sys.argv[2])
+write_only = bool(int(os.environ.get("SCALING_WRITE_ONLY", "0")))
 ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
          logging_level="ERROR", log_to_driver=False)
 from ocr_sam_project_ray.pipelines.extraction import run_extraction, PipelineConfig
@@ -23,8 +24,9 @@ cfg = PipelineConfig()
 sf = "/root/testdata/sf0.1"
 run_extraction(sf, cfg).count()  # warm
 counts, writes = [], []
-for _ in range(reps):
-    t0 = time.time(); run_extraction(sf, cfg).count(); counts.append(time.time() - t0)
+if not write_only:
+    for _ in range(reps):
+        t0 = time.time(); run_extraction(sf, cfg).count(); counts.append(time.time() - t0)
 for _ in range(reps):
     shutil.rmtree("/dev/shm/scaling_report_out", ignore_errors=True)
     t0 = time.time()
@@ -33,7 +35,7 @@ for _ in range(reps):
 n = ray.data.read_parquet("/dev/shm/scaling_report_out").count()
 shutil.rmtree("/dev/shm/scaling_report_out", ignore_errors=True)
 ray.shutdown()
-print(json.dumps({"ncpu": ncpu, "counts": counts, "writes": writes, "docs": n}))
+print(json.dumps({"ncpu": ncpu, "counts": counts or writes, "writes": writes, "docs": n}))
 """
 
 
