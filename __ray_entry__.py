@@ -291,6 +291,39 @@ def _q_doc_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"]).to_pandas().reset_index(drop=True)
 
 
+def _q_token_df(sf_dir: str):
+    """Corpus vocabulary: per-token document frequency + term frequency
+    (the df-pruning / stop-list input of every training-data pipeline)."""
+    from ocr_sam_project_ray.ops.corpus_stats import token_df
+
+    return (
+        token_df(_docs(sf_dir), num_partitions=4)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+
+
+def _q_events_cumsum(sf_dir: str):
+    from ocr_sam_project_ray.ops.corpus_stats import events_cumsum
+
+    return events_cumsum(sf_dir)
+
+
+def _q_host_stats(sf_dir: str):
+    from ocr_sam_project_ray.ops.corpus_stats import host_stats
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    paths = ensure_corpus(sf_dir)
+    return host_stats(paths["pages"])
+
+
+def _q_token_count_quantiles(sf_dir: str):
+    from ocr_sam_project_ray.ops.corpus_stats import token_count_quantiles
+
+    return token_count_quantiles(_docs(sf_dir))
+
+
 def _q_dedup_docs_exact(sf_dir: str):
     from ocr_sam_project_ray.ops.dedup_text import dedup_exact
 
@@ -551,6 +584,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_rollup": _q_batch_rollup,
         # training-data ops (documents/embeddings views; DuckDB recompute)
         "text_token_stats": _q_text_token_stats,
+        "token_df": _q_token_df,
+        "events_cumsum": _q_events_cumsum,
+        "host_stats": _q_host_stats,
+        "token_count_quantiles": _q_token_count_quantiles,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_docs_exact": _q_dedup_docs_exact,
@@ -664,6 +701,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(parts) > 3
                         THEN array_to_string(parts[4:], ' ') ELSE '' END AS nombre_segundo
             FROM p
+        """,
+        "host_stats": f"""
+            WITH h AS (
+              SELECT regexp_replace(regexp_replace(url, '^https?://', ''),
+                                    '/.*$', '') AS host, url
+              FROM read_parquet('{pages}')
+            )
+            SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+            FROM h GROUP BY host ORDER BY host
         """,
         "project_names_b": f"""
             WITH p AS (SELECT doc_id, seq AS secuencia,
@@ -789,6 +836,7 @@ def _ops_oracles() -> dict[str, str]:
     """Oracles that RECOMPUTE the ops in DuckDB over the pre-registered
     views (documents, embeddings, lineitem, ...) — fully independent of the
     Ray implementations."""
+    from ocr_sam_project_ray.ops import corpus_stats as _corpus_R
     from ocr_sam_project_ray.ops import relational as R
     from ocr_sam_project_ray.ops.textstats import STOPWORDS, sql_lang_id, sql_n_tokens
 
@@ -818,6 +866,23 @@ def _ops_oracles() -> dict[str, str]:
                    ({n_tokens}) >= 10 AND ({sum_tok}) >= 3 * ({n_tokens})
                      AS passes_quality
             FROM documents
+        """,
+        "token_df": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY token ORDER BY token
+        """,
+        "events_cumsum": _corpus_R.SQL_EVENTS_CUMSUM,
+        "token_count_quantiles": f"""
+            SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99
+            FROM (SELECT {n_tokens} AS n FROM documents)
         """,
         "text_lang_id": f"""
             SELECT doc_id, {sql_lang_id('text')} AS lang_pred FROM documents

@@ -1,0 +1,199 @@
+"""Corpus-level statistics operators — the vocabulary / distribution /
+per-source accounting a large-scale training-data pipeline runs before and
+after every preparation step:
+
+- token_df:        corpus document-frequency + term-frequency table
+                   (vocabulary building, stop-list derivation, df-pruning)
+- events_cumsum:   per-key running total over an ordered event log
+                   (the ordered-log pattern; feature backfill shape)
+- host_stats:      per-host page/url accounting over a crawl table
+                   (crawl-balance audits; host-level dedup planning)
+- token_count_quantiles: EXACT distribution quantiles of per-doc token
+                   counts via a distributed histogram (no sampling) —
+                   the corpus length profile used to pick packing lengths
+
+All are partial-then-final aggregations: per-batch combiners shrink the
+data before the single hash shuffle; nothing lands on the driver except
+final results (token_df result is the vocabulary itself — bounded by
+vocab size, returned as a Dataset so callers can keep it distributed).
+Every operator is SQL-recomputed by a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+from ..context import configure_data_context
+
+
+def token_df(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    num_partitions: int = 8,
+) -> Dataset:
+    """(token, df, tf): documents containing each whitespace token and its
+    total occurrence count. Token model = the engine-wide contract
+    (ops/textstats.tokenize: split \\s+ after strip). A row is entirely
+    inside one batch, so per-batch distinct-doc counts sum to exact global
+    document frequency."""
+    from collections import Counter
+
+    from .textstats import tokenize
+
+    configure_data_context()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df_c: Counter = Counter()
+        tf_c: Counter = Counter()
+        for text in batch[text_col].to_pylist():
+            toks = tokenize(text)
+            if not toks:
+                continue
+            tf_c.update(toks)
+            df_c.update(set(toks))
+        tokens = sorted(df_c)
+        return pa.table(
+            {
+                "token": pa.array(tokens, pa.string()),
+                "df": pa.array([df_c[t] for t in tokens], pa.int64()),
+                "tf": pa.array([tf_c[t] for t in tokens], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token", num_partitions=num_partitions)
+        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+    )
+
+
+def events_cumsum(sf_dir: str, num_partitions: int = 4):
+    """Per-user running total of value (integer cents) over the ts-ordered
+    event log — groupby(user).map_groups with an in-group sort; ordering
+    assumption documented: one user's events fit one group."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def running(g):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = (
+            (g["value"] * 100).round().astype("int64")
+        )
+        out = g[["event_id", "user_id"]].copy()
+        out["cum_value_cents"] = cents.cumsum()
+        return out
+
+    out = ds.groupby("user_id", num_partitions=num_partitions).map_groups(
+        running, batch_format="pandas"
+    )
+    return (
+        out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+SQL_EVENTS_CUMSUM = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS cum_value_cents
+FROM events ORDER BY event_id
+"""
+
+def host_stats(pages_path, num_partitions: int = 4):
+    """Per-host crawl accounting: page rows and DISTINCT urls per host.
+    Vectorized host extraction (pc.extract_regex); distinct urls via a
+    two-level aggregation — (host, url) combiner → count per pair →
+    host rollup — never a driver-side set."""
+    configure_data_context()
+    ds = ray.data.read_parquet(pages_path, columns=["url"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # host = url minus scheme, up to the first '/' — two vectorized
+        # regex rewrites, no Python loop
+        stripped = pc.replace_substring_regex(
+            batch["url"], pattern=r"^https?://", replacement=""
+        )
+        host = pc.replace_substring_regex(
+            stripped, pattern=r"/.*$", replacement=""
+        )
+        t = pa.table({"host": host, "url": batch["url"]})
+        agg = t.group_by(["host", "url"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["host", "url", "n"])
+
+    from ray.data.aggregate import Sum
+
+    per_url = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "url"], num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"host": batch["host"], "n_pages": batch["n"]})
+        agg = t.group_by("host").aggregate([("n_pages", "sum"), ([], "count_all")])
+        return agg.rename_columns(["host", "n_pages", "n_urls"])
+
+    out = (
+        per_url.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host", num_partitions=num_partitions)
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("n_urls", alias_name="n_urls"))
+    )
+    return out.to_pandas().sort_values("host").reset_index(drop=True)
+
+
+def token_count_quantiles(
+    ds: Dataset, qs=(0.5, 0.9, 0.99), text_col: str = "text",
+    num_partitions: int = 2,
+):
+    """EXACT quantiles of the per-doc token-count distribution via a
+    distributed histogram: per-batch (n_tokens → count) combiners, one
+    small groupby, then a driver walk over the (bounded) distinct-value
+    histogram. quantile_disc semantics: element at index
+    floor((n-1)·q) of the sorted multiset — matching DuckDB exactly."""
+    import pandas as pd
+
+    from .textstats import sql_n_tokens, tokenize  # noqa: F401 (sql used by oracle)
+
+    configure_data_context()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = pa.array(
+            [len(tokenize(t)) for t in batch[text_col].to_pylist()], pa.int64()
+        )
+        agg = pa.table({"n_tokens": counts}).group_by("n_tokens").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["n_tokens", "n_docs"])
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_tokens", num_partitions=num_partitions)
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("n_tokens")
+        .reset_index(drop=True)
+    )
+    total = int(hist.n_docs.sum())
+    out = {}
+    for q in qs:
+        target = int((total - 1) * q)  # floor((n-1)*q), 0-based rank
+        cum = 0
+        val = int(hist.n_tokens.iloc[-1]) if len(hist) else 0
+        for _, row in hist.iterrows():
+            cum += int(row.n_docs)
+            if cum > target:
+                val = int(row.n_tokens)
+                break
+        out[f"p{int(q * 100)}"] = val
+    return pd.DataFrame([out])
