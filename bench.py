@@ -126,6 +126,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).count()
     queries["dedup_shuffle"] = round(time.time() - t0, 3)
 
+    # distributed near-dedup chain over the documents table (the LLM-data
+    # flagship: LSH pairs → connected components → anti-join drop)
+    from ocr_sam_project_ray.ops.dedup_text import dedup_near_minhash
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    dedup_near_minhash(docs, threshold=0.7, num_partitions=8).count()
+    queries["near_dedup_docs"] = round(time.time() - t0, 3)
+
     # persons projection + batch rollup on top of a cached annotated dataset
     annotated = run_extraction(sf_dir, cfg).materialize()
     t0 = time.time()

@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 from ray.data import Dataset
 
 from ..context import configure_data_context
@@ -56,6 +57,9 @@ def _sym_edges(pairs: Dataset, a: str, b: str) -> Dataset:
     return pairs.map_batches(explode, batch_format="pyarrow")
 
 
+DRIVER_CC_MAX_EDGES = 2_000_000  # ≈32 MB of int64 pairs on the driver
+
+
 def connected_components(
     pairs: Dataset,
     a: str = "id_a",
@@ -72,10 +76,45 @@ def connected_components(
 
     configure_data_context()
     edges = _sym_edges(pairs, a, b).materialize()  # reused every round
-    if edges.count() == 0:  # empty pair set → schema-stable empty result
+    n_edges = edges.count()
+    if n_edges == 0:  # empty pair set → schema-stable empty result
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "component": pa.array([], pa.int64())})
+        )
+    # each round pays fixed scheduling latency PER PARTITION; size the
+    # partition count to the edge set (≈50k edges/partition) so small pair
+    # sets converge in seconds while huge ones still spread out
+    num_partitions = max(1, min(num_partitions, n_edges // 50_000 + 1))
+
+    # bounded fast path (same pattern as stages/dedup.DRIVER_WINNERS_MAX_ROWS):
+    # below the threshold, per-round distributed fixed costs dwarf the work —
+    # one driver union-find over ≤32 MB of edges is exact and instant. The
+    # iterative distributed path below remains the >threshold route.
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for batch in edges.iter_batches(batch_format="pyarrow"):
+            for s, d in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[max(rs, rd)] = min(rs, rd)
+        nodes = sorted(parent)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "component": pa.array([find(n) for n in nodes], pa.int64()),
+                }
+            )
         )
 
     label_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
@@ -200,15 +239,23 @@ def _list_columns(schema: pa.Schema) -> list[tuple[str, str]]:
     return out
 
 
+BROADCAST_LOSERS_MAX = 5_000_000  # ≈40 MB of int64 ids broadcast once
+
+
 def drop_by_components(
     ds: Dataset, components: Dataset, id_col: str, num_partitions: int = 4
 ) -> Dataset:
-    """Keep one survivor (the min id) per component: anti-join ``ds``
-    against the loser set — a shuffle, never a driver-side id set.
+    """Keep one survivor (the min id) per component.
 
-    List-typed columns (e.g. embeddings) are packed to binary for the join
-    and unpacked bit-identically after, because the hash-shuffle join does
-    not support list non-key fields."""
+    Loser removal picks the cheaper of two exact plans by measured loser
+    count (both bounded, both distributed-safe):
+    - ≤ BROADCAST_LOSERS_MAX: broadcast the loser-id array once (ray.put)
+      and filter every batch with a vectorized ``pc.is_in`` — ZERO shuffle
+      of ``ds`` (the same broadcast-filter pattern as the url dedup).
+    - above: hash ANTI-JOIN against the loser Dataset — one shuffle, no
+      driver-side set of unbounded size. List-typed columns (embeddings)
+      are packed to binary for the join and unpacked bit-identically after
+      (the hash join rejects list non-key fields)."""
     import numpy as np
 
     # compact the loser side: the join's shuffle loses its schema broadcast
@@ -217,6 +264,24 @@ def drop_by_components(
     n_losers = losers.count()
     if n_losers == 0:
         return ds
+
+    if n_losers <= BROADCAST_LOSERS_MAX:
+        parts = [
+            b["node"].combine_chunks()
+            for b in losers.iter_batches(batch_format="pyarrow")
+            if len(b)
+        ]
+        loser_arr = pa.concat_arrays(parts)
+        loser_ref = ray.put(loser_arr)
+
+        def drop(batch: pa.Table) -> pa.Table:
+            arr = ray.get(loser_ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch[id_col], value_set=arr))
+            )
+
+        return ds.map_batches(drop, batch_format="pyarrow")
+
     losers = losers.repartition(num_blocks=min(num_partitions, n_losers))
 
     list_cols = _list_columns(ds.schema().base_schema)

@@ -25,7 +25,20 @@ def _pairs_ds(pairs):
     )
 
 
-def test_cc_transitive_chain():
+@pytest.fixture(params=["driver", "distributed"])
+def force_path(request, monkeypatch):
+    """Run every graph test through BOTH execution plans: the bounded
+    driver union-find / broadcast-filter fast paths AND the iterative
+    distributed rounds + anti-join (thresholds forced to 0)."""
+    if request.param == "distributed":
+        from ocr_sam_project_ray.ops import graph as g
+
+        monkeypatch.setattr(g, "DRIVER_CC_MAX_EDGES", 0)
+        monkeypatch.setattr(g, "BROADCAST_LOSERS_MAX", 0)
+    return request.param
+
+
+def test_cc_transitive_chain(force_path):
     # a~b~c with NO direct (a,c) pair, plus a separate 2-cluster
     comps = connected_components(_pairs_ds([(1, 2), (2, 3), (10, 11)]))
     got = dict(zip(*(lambda d: (d["node"], d["component"]))(
@@ -33,7 +46,7 @@ def test_cc_transitive_chain():
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
-def test_cc_long_chain_and_cross_links():
+def test_cc_long_chain_and_cross_links(force_path):
     # a 7-node path — needs multiple propagation rounds
     chain = [(i, i + 1) for i in range(1, 7)]
     # plus a star whose center is NOT the minimum
@@ -48,7 +61,7 @@ def test_cc_empty_pairs():
     assert connected_components(_pairs_ds([])).count() == 0
 
 
-def test_drop_by_components_keeps_min_per_cluster():
+def test_drop_by_components_keeps_min_per_cluster(force_path):
     docs = ray.data.from_arrow(
         pa.table(
             {
