@@ -492,6 +492,18 @@ def _q_events_asof_orders(sf_dir: str):
     return events_asof_orders(sf_dir)
 
 
+def _q_events_range_join(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import events_range_join
+
+    return events_range_join(sf_dir)
+
+
+def _q_events_hopping(sf_dir: str):
+    from ocr_sam_project_ray.ops.relational import events_hopping
+
+    return events_hopping(sf_dir)
+
+
 def _q_top_events_per_user(sf_dir: str):
     from ocr_sam_project_ray.ops.relational import top_events_per_user
 
@@ -609,6 +621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "events_asof_orders": _q_events_asof_orders,
+        "events_range_join": _q_events_range_join,
+        "events_hopping": _q_events_hopping,
         "distinct_event_types": _q_distinct_event_types,
         "top_events_per_user": _q_top_events_per_user,
         "events_stats_by_type": _q_events_stats_by_type,
@@ -976,6 +990,10 @@ def _ops_oracles() -> dict[str, str]:
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "user_sessions": R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US),
         "events_asof_orders": R.SQL_EVENTS_ASOF,
+        "events_range_join": R.SQL_EVENTS_RANGE_JOIN.format(
+            bands=R._bands_sql_values()
+        ),
+        "events_hopping": R.SQL_EVENTS_HOPPING,
         "distinct_event_types": R.SQL_DISTINCT_EVENT_TYPES,
         "top_events_per_user": R.SQL_TOP_EVENTS_PER_USER.format(k=3),
         "events_stats_by_type": R.SQL_EVENTS_STATS,

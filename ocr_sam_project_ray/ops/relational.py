@@ -647,3 +647,133 @@ QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY value DESC, event_id) <= {k}
 ORDER BY user_id, value DESC, event_id
 """
+
+
+VALUE_BANDS = [
+    # (band_id, lo, hi) — half-open [lo, hi); the broadcast range-join side
+    (1, 0.0, 100.0),
+    (2, 100.0, 500.0),
+    (3, 500.0, 2000.0),
+    (4, 2000.0, 10**9),
+]
+
+
+def events_range_join(sf_dir: str, num_partitions: int = 2):
+    """RANGE JOIN (custom operator — Ray Data has no native banded join):
+    each event joins the band whose [lo, hi) interval contains its value.
+    The band table is tiny and SORTED, so the join is a broadcast +
+    vectorized ``np.searchsorted`` per batch — no shuffle at all; the
+    general pattern for joining a stream against interval dimension
+    tables (rate cards, SLA tiers, bucket schedules). Returns per-band
+    counts + cent-exact sums. Oracle: SQL BETWEEN join."""
+    configure_data_context()
+    bands = sorted(VALUE_BANDS, key=lambda b: b[1])
+    lows = np.array([b[1] for b in bands])
+    ids = np.array([b[0] for b in bands], dtype=np.int64)
+    bands_ref = ray.put((lows, ids))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lo, bid = ray.get(bands_ref)
+        vals = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo, vals, side="right") - 1
+        idx = np.clip(idx, 0, len(bid) - 1)
+        t = pa.table(
+            {
+                "band_id": pa.array(bid[idx], pa.int64()),
+                "value_cents": _cents(batch["value"]),
+            }
+        )
+        agg = t.group_by("band_id").aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
+        return agg.rename_columns(["band_id", "n_events", "value_cents"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("band_id", num_partitions=num_partitions)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+    return out.to_pandas().sort_values("band_id").reset_index(drop=True)
+
+
+def _bands_sql_values() -> str:
+    return ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH bands(band_id, lo, hi) AS (VALUES {bands})
+SELECT band_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id ORDER BY band_id
+"""
+
+
+def events_hopping(sf_dir: str, num_partitions: int = 4):
+    """HOPPING (overlapping) window aggregate: 2-hour windows advancing
+    every hour — each event belongs to TWO windows, so the window
+    assignment is a flat-map (one row per (event, window)) followed by the
+    standard partial-then-final aggregation. The overlap factor is the
+    fan-out cost, stated explicitly; window ids are integers
+    (epoch_us // hop), never timestamps, so grouping is exact."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        base = pc.cast(
+            pc.divide(pc.cast(batch["ts"], pa.int64()), HOUR_US), pa.int64()
+        ).combine_chunks()
+        cents = _cents(batch["value"]).combine_chunks()
+        users = batch["user_id"].combine_chunks()
+        # windows [w-1, w] both contain an event in hour-slot w (size 2h, hop 1h)
+        win = pa.concat_arrays([base, pc.subtract(base, 1)])
+        t = pa.table(
+            {
+                "user_id": pa.concat_arrays([users, users]),
+                "window_id": win,
+                "value_cents": pa.concat_arrays([cents, cents]),
+            }
+        )
+        agg = t.group_by(["user_id", "window_id"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
+        return agg.rename_columns(
+            ["user_id", "window_id", "n_events", "value_cents"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_id"], num_partitions=num_partitions)
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+    return out.to_pandas().sort_values(["user_id", "window_id"]).reset_index(drop=True)
+
+
+SQL_EVENTS_HOPPING = """
+WITH w AS (
+  SELECT user_id,
+         unnest([epoch_us(ts) // 3600000000,
+                 epoch_us(ts) // 3600000000 - 1]) AS window_id,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM w GROUP BY user_id, window_id ORDER BY user_id, window_id
+"""

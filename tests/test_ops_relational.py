@@ -63,3 +63,42 @@ def test_top_events_per_user(con):
     _cmp(R.top_events_per_user(SF),
          R.SQL_TOP_EVENTS_PER_USER.format(k=3), con,
          ["user_id", "event_id"])
+
+
+def test_events_range_join_matches_duckdb():
+    import duckdb
+
+    from ocr_sam_project_ray.ops.relational import (
+        SQL_EVENTS_RANGE_JOIN, _bands_sql_values, events_range_join,
+    )
+
+    got = events_range_join(SF)
+    sql = SQL_EVENTS_RANGE_JOIN.format(bands=_bands_sql_values()).replace(
+        "FROM events", f"FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = duckdb.sql(sql).df()
+    assert got.band_id.tolist() == exp.band_id.tolist()
+    assert got.n_events.tolist() == exp.n_events.tolist()
+    assert got.value_cents.tolist() == exp.value_cents.tolist()
+
+
+def test_events_hopping_matches_duckdb():
+    import duckdb
+
+    from ocr_sam_project_ray.ops.relational import (
+        SQL_EVENTS_HOPPING, events_hopping,
+    )
+
+    got = events_hopping(SF)
+    sql = SQL_EVENTS_HOPPING.replace(
+        "FROM events", f"FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = duckdb.sql(sql).df()
+    assert len(got) == len(exp)
+    assert got.n_events.tolist() == exp.n_events.tolist()
+    assert got.value_cents.tolist() == exp.value_cents.tolist()
+    # every event lands in exactly TWO windows (the 2h/1h overlap factor)
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert got.n_events.sum() == 2 * n_events
