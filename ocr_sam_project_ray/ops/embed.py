@@ -70,12 +70,28 @@ def knn_cosine(
         )
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
-    # global merge: k × n_batches rows per query — a small reduction
-    merged = partials.to_pandas()
-    merged = merged.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
-    top = merged.groupby("qid", as_index=False).head(k)
-    top["sim"] = top["sim"].round(6)
-    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+    return _merge_topk(partials, k)
+
+
+def _merge_topk(partials, k: int) -> "pa.Table":
+    """Distributed final top-k merge: the per-batch candidates (k ×
+    n_batches rows per query) are grouped by query and reduced per group —
+    the merge scales with query count, never with corpus size; only the
+    k-per-query result lands on the driver."""
+
+    def final(g):
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g["sim"] = g["sim"].round(6)
+        return g
+
+    merged = (
+        partials.groupby("qid", num_partitions=2)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 def cosine_near_pairs(
@@ -186,11 +202,7 @@ def knn_ivf(
         )
 
     partials = assigned.map_batches(local_topk, batch_format="pyarrow", batch_size=4096)
-    merged = partials.to_pandas()
-    merged = merged.sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
-    top = merged.groupby("qid", as_index=False).head(k)
-    top["sim"] = top["sim"].round(6)
-    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+    return _merge_topk(partials, k)
 
 
 def cosine_near_pairs_ivf(
