@@ -103,6 +103,34 @@ def _high_dup_corpus(n_clusters=40, dups_per=4, n_unique=80):
     )
 
 
+def test_near_dup_verified_at_high_duplicate_fraction():
+    """The fully distributed LSH→exact-verify pipeline must equal the
+    brute-force kernel on a dup-heavy corpus (≥50% of clustered docs are
+    near-dups) — pinning the round-2 'no driver materialization' rewrite
+    at exactly the load shape that used to OOM the old design."""
+    from ocr_sam_project_ray.ops.dedup_text import (
+        jaccard, near_dup_verified, word_ngrams,
+    )
+
+    docs = _high_dup_corpus(n_clusters=20, dups_per=4, n_unique=40)
+    texts = dict(zip(*(lambda d: (d["doc_id"], d["text"]))(
+        docs.to_pandas().to_dict("list"))))
+    grams = {i: word_ngrams(t) for i, t in texts.items()}
+    ids = sorted(texts)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if jaccard(grams[a], grams[b]) >= 0.8
+    }
+    assert len(brute) >= 50  # genuinely dup-heavy
+    got = near_dup_verified(docs, threshold=0.8, num_partitions=4).to_pandas()
+    gset = set(zip(got.id_a, got.id_b))
+    assert gset <= brute  # exact verification → no false positives ever
+    missed = brute - gset
+    assert len(missed) <= max(1, len(brute) // 20), missed  # LSH recall
+
+
 def test_near_dedup_at_high_duplicate_fraction():
     """The round-1 gap: the drop step must survive a corpus where a LARGE
     fraction (here 120/240 extra rows ≈ 50%+ of clustered docs) are
