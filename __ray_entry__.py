@@ -318,6 +318,14 @@ def _q_host_stats(sf_dir: str):
     return host_stats(paths["pages"])
 
 
+def _q_pack_documents(sf_dir: str):
+    """Deterministic shuffle + fixed-token-budget sequence packing
+    (distributed prefix-sum) — (doc_id, pack_id)."""
+    from ocr_sam_project_ray.ops.corpus_stats import pack_documents
+
+    return pack_documents(_docs(sf_dir), budget=512)
+
+
 def _q_token_count_quantiles(sf_dir: str):
     from ocr_sam_project_ray.ops.corpus_stats import token_count_quantiles
 
@@ -600,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumsum": _q_events_cumsum,
         "host_stats": _q_host_stats,
         "token_count_quantiles": _q_token_count_quantiles,
+        "pack_documents": _q_pack_documents,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_docs_exact": _q_dedup_docs_exact,
@@ -892,6 +901,9 @@ def _ops_oracles() -> dict[str, str]:
             FROM toks GROUP BY token ORDER BY token
         """,
         "events_cumsum": _corpus_R.SQL_EVENTS_CUMSUM,
+        "pack_documents": _corpus_R.SQL_PACK_DOCUMENTS.format(
+            n_tokens=n_tokens, budget=512
+        ),
         "token_count_quantiles": f"""
             SELECT CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,

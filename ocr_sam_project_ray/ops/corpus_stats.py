@@ -150,6 +150,91 @@ def host_stats(pages_path, num_partitions: int = 4):
     return out.to_pandas().sort_values("host").reset_index(drop=True)
 
 
+def pack_documents(
+    ds: Dataset, budget: int = 512, id_col: str = "doc_id",
+    text_col: str = "text", num_partitions: int = 4,
+):
+    """Deterministic shuffle + SEQUENCE PACKING — the pretraining
+    batch-assembly shape: order the corpus by a content hash (reproducible
+    'shuffle', independent of input partitioning), then assign each doc a
+    ``pack_id`` = floor(exclusive-prefix-sum(n_tokens) / budget) so
+    consecutive docs fill fixed token budgets.
+
+    Distributed prefix-sum, two passes:
+      1. docs → (bucket = first md5 byte) token totals via one small
+         groupby; the driver turns 256 bucket totals into exclusive bucket
+         OFFSETS (bounded driver state, broadcast once);
+      2. groupby(bucket).map_groups: sort the bucket by (hash, id), local
+         exclusive cumsum + the bucket's offset → pack_id. Partitioning
+         assumption (documented, as for sessionization): one bucket's rows
+         fit one group — buckets are 1/256 of the corpus; add a second
+         hash byte (65k buckets) for larger corpora.
+
+    Oracle: SQL window SUM OVER (ORDER BY hash ROWS … 1 PRECEDING)."""
+    import hashlib
+
+    from .textstats import tokenize
+
+    configure_data_context()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        hs = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "h": pa.array(hs, pa.string()),
+                "bucket": pa.array([int(h[:2], 16) for h in hs], pa.int64()),
+                "n": pa.array([len(tokenize(t)) for t in texts], pa.int64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        keyed_ds.groupby("bucket", num_partitions=2)
+        .aggregate(Sum("n", alias_name="total"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    offsets = {}
+    run = 0
+    for _, row in totals.iterrows():
+        offsets[int(row.bucket)] = run
+        run += int(row.total)
+    offsets_ref = ray.put(offsets)
+
+    def pack_group(g):
+        import pandas as pd
+
+        off = ray.get(offsets_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["h", id_col], kind="mergesort")
+        prefix = g["n"].cumsum().shift(fill_value=0) + off  # exclusive
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].astype("int64"),
+                "pack_id": (prefix // budget).astype("int64"),
+            }
+        )
+
+    out = keyed_ds.groupby("bucket", num_partitions=num_partitions).map_groups(
+        pack_group, batch_format="pandas"
+    )
+    return out.to_pandas().sort_values(id_col).reset_index(drop=True)
+
+
+SQL_PACK_DOCUMENTS = """
+WITH t AS (SELECT doc_id, md5(text) AS h, {n_tokens} AS n FROM documents)
+SELECT doc_id,
+       CAST(floor(COALESCE(sum(n) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {budget}) AS BIGINT) AS pack_id
+FROM t ORDER BY doc_id
+"""
+
+
 def token_count_quantiles(
     ds: Dataset, qs=(0.5, 0.9, 0.99), text_col: str = "text",
     num_partitions: int = 2,

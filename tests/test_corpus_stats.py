@@ -98,3 +98,36 @@ def test_quantiles_hand_case_and_duckdb_parity():
     ).df()
     assert out.p50.iloc[0] == exp.p50.iloc[0]
     assert out.p90.iloc[0] == exp.p90.iloc[0]
+
+
+def test_pack_documents_matches_duckdb():
+    from ocr_sam_project_ray.ops.corpus_stats import (
+        SQL_PACK_DOCUMENTS, pack_documents,
+    )
+    from ocr_sam_project_ray.ops.textstats import sql_n_tokens
+
+    docs_path = f"{SF}/documents.parquet"
+    got = pack_documents(ray.data.read_parquet(docs_path), budget=512)
+    sql = SQL_PACK_DOCUMENTS.format(n_tokens=sql_n_tokens("text"), budget=512)
+    exp = duckdb.sql(
+        sql.replace("FROM documents", f"FROM read_parquet('{docs_path}')")
+    ).df()
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.pack_id.tolist() == exp.pack_id.tolist()
+    # packing invariants: ids start at 0, are contiguous, and every pack
+    # except possibly the last holds <= budget + one overflowing doc
+    assert got.pack_id.min() == 0
+    assert set(got.pack_id) == set(range(got.pack_id.max() + 1))
+
+
+def test_pack_documents_partition_invariant():
+    """The deterministic shuffle must be independent of input block
+    layout: different repartitioning, identical pack assignment."""
+    from ocr_sam_project_ray.ops.corpus_stats import pack_documents
+
+    docs_path = f"{SF}/documents.parquet"
+    a = pack_documents(ray.data.read_parquet(docs_path), budget=256)
+    b = pack_documents(
+        ray.data.read_parquet(docs_path).repartition(7), budget=256
+    )
+    assert a.pack_id.tolist() == b.pack_id.tolist()
