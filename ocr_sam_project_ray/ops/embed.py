@@ -209,28 +209,39 @@ def cosine_near_pairs_ivf(
     ds: Dataset, threshold: float, n_centroids: int = 16,
     sample_rows: int = 2048, id_col: str = "vec_id",
     emb_col: str = "embedding", num_partitions: int = 4,
+    n_assign: int = 2,
 ) -> Dataset:
     """Embedding near-dup pairs at scale: assign every vector to its
-    nearest IVF centroid, hash-repartition by bucket, compare ONLY within
-    buckets (near-identical vectors share a centroid w.h.p.). Approximate:
-    pairs straddling a centroid boundary are missed — raise n_centroids'
-    granularity or probe neighbors for tighter recall; the exact kernel
-    (cosine_near_pairs) verifies bounded subsets."""
+    ``n_assign`` NEAREST IVF centroids (multi-assignment — the standard
+    boundary-miss mitigation: a near pair straddling one centroid border
+    still shares its second-choice bucket w.h.p.), hash-repartition by
+    bucket, compare only within buckets, then dedup pairs found in more
+    than one shared bucket. Still approximate (rows-only + recall-tested);
+    the exact kernel (cosine_near_pairs) verifies bounded subsets. The
+    fan-out cost is ×n_assign rows through the shuffle — stated, bounded,
+    and the price of recall."""
     sample_df = ds.limit(sample_rows).to_pandas()
     sample = np.asarray(list(sample_df[emb_col]), dtype=np.float64)
     cents = _lite_centroids(sample, n_centroids)
     cn = _normalize(cents)
     c_ref = ray.put(cn)
+    k_assign = max(1, min(n_assign, n_centroids))
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
         m = _normalize(_batch_matrix(batch, emb_col))
-        bucket = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        sims = m @ c.T
+        top = np.argpartition(-sims, k_assign - 1, axis=1)[:, :k_assign]
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        embs = batch[emb_col]
+        out_idx = np.repeat(np.arange(len(ids)), k_assign)
         return pa.table(
             {
-                id_col: batch[id_col],
-                emb_col: batch[emb_col],
-                "ivf_bucket": pa.array(bucket, pa.int32()),
+                id_col: pa.array(ids[out_idx], pa.int64()),
+                emb_col: embs.take(pa.array(out_idx)),
+                "ivf_bucket": pa.array(
+                    top.ravel().astype(np.int32), pa.int32()
+                ),
             }
         )
 
@@ -270,7 +281,26 @@ def cosine_near_pairs_ivf(
             }
         )
 
-    return assigned.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    p = assigned.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+    # multi-assignment can surface the same pair from two shared buckets →
+    # global pair dedup (same shape as minhash_lsh_pairs' band dedup)
+    from .dedup_text import _keep_min_id_per_key
+
+    def add_key(b: pa.Table) -> pa.Table:
+        k = [f"{a}:{c}" for a, c in zip(b["id_a"].to_pylist(), b["id_b"].to_pylist())]
+        return b.append_column("pair_key", pa.array(k, pa.string()))
+
+    p = (
+        p.map_batches(add_key, batch_format="pyarrow")
+        .repartition(num_blocks=2, keys=["pair_key"])
+        .map_batches(
+            lambda b: _keep_min_id_per_key(b, "pair_key", "id_a"),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return p.drop_columns(["pair_key"])
 
 
 def dedup_near_cosine(

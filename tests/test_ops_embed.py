@@ -95,7 +95,11 @@ def test_cosine_near_pairs_ivf_and_dedup(emb, ref):
     gset = set(zip(got.id_a, got.id_b))
     assert gset <= exact                       # no false positives
     if exact:
-        assert len(gset) / len(exact) >= 0.3   # bucketed recall (approximate)
+        # default 2-probe multi-assignment: measured 0.94 on this corpus
+        # (1-probe was 0.50); floor leaves margin for centroid drift
+        assert len(gset) / len(exact) >= 0.75
+    # no duplicate pairs despite multi-assignment (pair-key dedup)
+    assert len(got) == len(gset)
 
     kept = dedup_near_cosine(emb, threshold=0.4, n_centroids=4,
                              num_partitions=2).to_pandas()
