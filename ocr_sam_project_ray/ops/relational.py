@@ -147,7 +147,16 @@ def q3_top_orders(sf_dir: str, k: int = 10, num_partitions: int = 4):
             ["o_orderkey"]
         )
 
-    okeys_ds = orders.map_batches(filt_orders, batch_format="pyarrow")
+    # compact away empty blocks: the join shuffle drops empty blocks before
+    # its schema broadcast, which can break sparse partitions downstream
+    okeys_ds = orders.map_batches(filt_orders, batch_format="pyarrow").materialize()
+    n_okeys = okeys_ds.count()
+    if n_okeys == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"l_orderkey": pd.array([], dtype="int64"),
+                             "revenue_cents": pd.array([], dtype="int64")})
+    okeys_ds = okeys_ds.repartition(num_blocks=min(num_partitions, n_okeys))
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",

@@ -157,6 +157,23 @@ def test_sizeless_records_default_to_size_10():
     assert extract_pdf_like_text(payload) == "compat v1\ntitular"
 
 
+def test_render_parse_inverse_property_many_seeds():
+    """For ANY composed document, rendering through the corpus fixture
+    writer and parsing back must be the identity — 200 seeded cases
+    covering every renderer feature combination (page splits, two-column
+    layout, repeated headers/footers, watermarks)."""
+    import random
+
+    from ocr_sam_project_ray.sources.synthetic import _render_pdf_like
+
+    for seed in range(200):
+        rng = random.Random(f"roundtrip:{seed}")
+        n = rng.randrange(1, 40)
+        lines = [f"linea {i} del documento s{seed}" for i in range(n)]
+        raw = _render_pdf_like(rng, lines)
+        assert extract_pdf_like_text(raw) == "\n".join(lines), seed
+
+
 def test_kitchen_sink_document():
     """Two pages: page 1 two-column with a watermark, page 2 single-column;
     repeated header on both pages; hand-computed expectation."""
