@@ -678,16 +678,20 @@ def events_range_join(sf_dir: str, num_partitions: int = 2):
     configure_data_context()
     bands = sorted(VALUE_BANDS, key=lambda b: b[1])
     lows = np.array([b[1] for b in bands])
+    his = np.array([b[2] for b in bands])
     ids = np.array([b[0] for b in bands], dtype=np.int64)
-    bands_ref = ray.put((lows, ids))
+    bands_ref = ray.put((lows, his, ids))
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        lo, bid = ray.get(bands_ref)
+        lo, hi, bid = ray.get(bands_ref)
         vals = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        # values outside every band fall out of the join (SQL semantics)
+        keep = (vals >= lo[0]) & (vals < hi[-1])
+        batch = batch.filter(pa.array(keep))
+        vals = vals[keep]
         idx = np.searchsorted(lo, vals, side="right") - 1
-        idx = np.clip(idx, 0, len(bid) - 1)
         t = pa.table(
             {
                 "band_id": pa.array(bid[idx], pa.int64()),

@@ -102,3 +102,42 @@ def test_events_hopping_matches_duckdb():
         f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')"
     ).fetchone()[0]
     assert got.n_events.sum() == 2 * n_events
+
+
+def test_range_join_excludes_out_of_range(tmp_path):
+    """Values outside every band fall out of the join exactly as the SQL
+    BETWEEN join drops them (negative + above-top values)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import duckdb
+
+    from ocr_sam_project_ray.ops.relational import (
+        SQL_EVENTS_RANGE_JOIN, _bands_sql_values, events_range_join,
+    )
+
+    d = tmp_path / "rj"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "ts": pa.array([0] * 6, pa.timestamp("us")),
+                "user_id": pa.array([1] * 6, pa.int64()),
+                "event_type": ["x"] * 6,
+                "value": pa.array([-5.0, 0.0, 99.99, 100.0, 5000.0, 2e9],
+                                  pa.float64()),
+                "props": ["{}"] * 6,
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = events_range_join(str(d))
+    sql = SQL_EVENTS_RANGE_JOIN.format(bands=_bands_sql_values()).replace(
+        "FROM events", f"FROM read_parquet('{d}/events.parquet')"
+    )
+    exp = duckdb.sql(sql).df()
+    assert got.band_id.tolist() == exp.band_id.tolist()
+    assert got.n_events.tolist() == exp.n_events.tolist()
+    assert got.value_cents.tolist() == exp.value_cents.tolist()
+    assert got.n_events.sum() == 4  # -5 and 2e9 dropped
