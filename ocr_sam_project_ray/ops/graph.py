@@ -3,12 +3,20 @@ transitive cluster resolution the near-dup drop step needs at scale
 (single-link by pair is wrong for chains a~b~c where (a,c) is not a direct
 pair; the standard is: one survivor per CONNECTED COMPONENT).
 
-Algorithm: iterative min-label propagation expressed entirely in Dataset
-ops. Each round is one hash join (push every node's current label across
-its edges) + one groupby-min (fold pushed labels into each node's label).
-Labels only ever decrease, so ``sum(label)`` is a monotone convergence
-witness: a round that leaves the sum unchanged is the fixpoint. The driver
-only ever sees that one scalar per round.
+Two plans, chosen by measured edge count:
+
+- ≤ DRIVER_CC_MAX_EDGES: one driver union-find over a bounded edge stream
+  (≤32 MB) — below this, the per-round distributed fixed costs dwarf the
+  work (same bounded-fast-path pattern as stages/dedup's winner pre-pass).
+- above: iterative min-label propagation expressed in Dataset ops. Each
+  round tags labels + edges, hash-repartitions on the key, and performs
+  the label push as a PARTITION-LOCAL pyarrow acero join inside each
+  block, then folds with one groupby-min. (Ray's distributed Dataset.join
+  is deliberately avoided inside the loop: its shuffle skips empty input
+  blocks before the schema broadcast, and the iterated labels table
+  legitimately carries empty blocks.) Labels only ever decrease, so
+  ``sum(label)`` is a monotone convergence witness: a round that leaves
+  the sum unchanged is the fixpoint — one scalar per round on the driver.
 
 Rounds needed = the largest component's min-label eccentricity (≤ its
 diameter). Near-dup clusters are dense and shallow, so a handful of rounds
@@ -68,8 +76,9 @@ def connected_components(
     max_rounds: int = 12,
 ) -> Dataset:
     """(node, component) for every node appearing in ``pairs``; component =
-    the minimum node id reachable from it. Fully distributed: per round one
-    join + one groupby shuffle, one scalar on the driver."""
+    the minimum node id reachable from it. Plan selection and the round
+    structure are described in the module docstring; duplicate edges are
+    harmless (min-fold and union-find are both idempotent over them)."""
     from ray.data.aggregate import Min, Sum
 
     import ray.data
