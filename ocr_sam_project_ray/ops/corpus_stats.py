@@ -21,6 +21,7 @@ Every operator is SQL-recomputed by a DuckDB oracle.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -84,9 +85,10 @@ def events_cumsum(sf_dir: str, num_partitions: int = 4):
 
     def running(g):
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        cents = (
-            (g["value"] * 100).round().astype("int64")
-        )
+        # half-away-from-zero like DuckDB round() — pandas .round() is
+        # half-to-even and diverges on exact .5 cents (same float-parity
+        # trap relational._cents guards against); values are non-negative
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
         out = g[["event_id", "user_id"]].copy()
         out["cum_value_cents"] = cents.cumsum()
         return out

@@ -687,11 +687,14 @@ def events_range_join(sf_dir: str, num_partitions: int = 2):
     def partial(batch: pa.Table) -> pa.Table:
         lo, hi, bid = ray.get(bands_ref)
         vals = batch["value"].combine_chunks().to_numpy(zero_copy_only=False)
-        # values outside every band fall out of the join (SQL semantics)
-        keep = (vals >= lo[0]) & (vals < hi[-1])
-        batch = batch.filter(pa.array(keep))
-        vals = vals[keep]
         idx = np.searchsorted(lo, vals, side="right") - 1
+        # per-band containment, not just the global envelope: idx >= 0
+        # guarantees vals >= lo[idx]; also require vals < hi[idx] so values
+        # in a GAP between non-contiguous bands fall OUT of the join (SQL
+        # BETWEEN semantics) instead of silently landing in the band below
+        keep = (idx >= 0) & (vals < hi[np.clip(idx, 0, len(hi) - 1)])
+        batch = batch.filter(pa.array(keep))
+        idx = idx[keep]
         t = pa.table(
             {
                 "band_id": pa.array(bid[idx], pa.int64()),

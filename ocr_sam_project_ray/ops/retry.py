@@ -88,10 +88,27 @@ class RetryPolicy:
         return wait_for(error_class, attempt) * self.time_scale
 
 
-def _poison_table(batch: pa.Table, error_class: str, message: str) -> pa.Table:
-    """Mark every row of ``batch`` as poison: success=False + error columns
-    appended (or overwritten); all other columns ride through unchanged."""
+def _poison_table(
+    batch: pa.Table,
+    error_class: str,
+    message: str,
+    keep_columns: Optional[list[str]] = None,
+    output_schema: Optional[pa.Schema] = None,
+) -> pa.Table:
+    """Mark every row of ``batch`` as poison: success=False + error columns.
+
+    By default all input columns ride through — which means poison rows keep
+    the kernel's INPUT schema (payload blobs included) while success rows
+    carry the OUTPUT schema. For a stable Dataset schema pass
+    ``keep_columns`` (project poison rows to key columns only — the DLQ
+    shape, dropping payloads so blobs never travel past the failing stage)
+    and/or ``output_schema`` (pad poison rows to the kernel's output schema
+    with nulls so all-poison and all-success blocks agree exactly)."""
     n = len(batch)
+    if keep_columns is not None:
+        batch = batch.select([c for c in keep_columns if c in batch.column_names])
+    if output_schema is not None:
+        batch = _conform(batch, output_schema)
     for name in ("success", "error", "error_class"):
         if name in batch.column_names:
             batch = batch.drop_columns([name])
@@ -100,6 +117,22 @@ def _poison_table(batch: pa.Table, error_class: str, message: str) -> pa.Table:
         .append_column("error", pa.array([message[:500]] * n, pa.string()))
         .append_column("error_class", pa.array([error_class] * n, pa.string()))
     )
+
+
+def _conform(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project ``batch`` onto exactly ``schema``'s columns — present columns
+    are carried (cast if needed), absent ones become typed nulls — so every
+    emitted block shares one schema regardless of its success/poison mix."""
+    cols = {}
+    for f in schema:
+        if f.name in batch.column_names:
+            col = batch[f.name]
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols[f.name] = col
+        else:
+            cols[f.name] = pa.nulls(len(batch), f.type)
+    return pa.table(cols)
 
 
 def _mark_ok(batch: pa.Table) -> pa.Table:
@@ -140,6 +173,8 @@ def with_retries(
     kernel: Callable[[pa.Table], pa.Table],
     policy: Optional[RetryPolicy] = None,
     poison: bool = True,
+    keep_columns: Optional[list[str]] = None,
+    output_schema: Optional[pa.Schema] = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Wrap a batch kernel with classified retry + poison-row capture.
 
@@ -147,26 +182,45 @@ def with_retries(
     non-retryable class) degrades to per-row isolation, and rows that STILL
     fail are emitted as poison rows (success=False, error, error_class)
     rather than raised — unless ``poison=False``, in which case the last
-    error propagates (fail-the-job mode)."""
+    error propagates (fail-the-job mode).
+
+    Schema stability: without the optional args, poison rows keep the
+    INPUT schema while success rows keep the OUTPUT schema, so downstream
+    consumers must split on ``success`` before relying on kernel-output
+    columns. Pass ``keep_columns`` (stable DLQ keys — poison rows drop
+    every other input column, so payload blobs never travel past the
+    failing stage) and/or ``output_schema`` (poison rows padded with typed
+    nulls, success rows projected) to make every emitted block share one
+    schema."""
     policy = policy or RetryPolicy()
+
+    def _ok(result: pa.Table) -> pa.Table:
+        if output_schema is not None:
+            result = _conform(result, output_schema)
+        return _mark_ok(result)
+
+    def _bad(rows: pa.Table, error_class: str, message: str) -> pa.Table:
+        return _poison_table(rows, error_class, message,
+                             keep_columns=keep_columns,
+                             output_schema=output_schema)
 
     def wrapped(batch: pa.Table) -> pa.Table:
         result, err = _attempt_with_retries(kernel, batch, policy)
         if err is None:
-            return _mark_ok(result) if poison else result
+            return _ok(result) if poison else result
         if not poison:
             raise FatalError(
                 f"{err[0]}: {err[1]} (after {policy.max_attempts} attempts)",
                 error_class=err[0],
             )
         if len(batch) == 1:
-            return _poison_table(batch, err[0], err[1])
+            return _bad(batch, *err)
         # degrade to per-row isolation: only truly poisonous rows die
         outs = []
         for i in range(len(batch)):
             row = batch.slice(i, 1)
             r, e = _attempt_with_retries(kernel, row, policy)
-            outs.append(_mark_ok(r) if e is None else _poison_table(row, *e))
+            outs.append(_ok(r) if e is None else _bad(row, *e))
         return pa.concat_tables(outs, promote_options="permissive")
 
     return wrapped

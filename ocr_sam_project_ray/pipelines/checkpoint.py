@@ -29,6 +29,7 @@ dedup_by_url path (the default non-checkpointed pipeline).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -99,14 +100,23 @@ def run_checkpointed(
     shards = _shards(input_files, n_shards)
 
     # prune shards outside the current plan (e.g. a previous run with more
-    # shards) so the output dir and metrics reflect exactly this plan
+    # shards) so the output dir and metrics reflect exactly this plan. Prune
+    # by DIRECTORY listing, not by lineage: a torn shard dir from a larger
+    # previous plan (dir without lineage, possibly holding parquet) would
+    # otherwise survive and pollute glob-based readers with stale rows.
     plan_ids = {f"{i:05d}" for i in range(len(shards))}
-    for stale in set(done) - plan_ids:
+    on_disk = {
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(out_dir, "shard=*"))
+        if os.path.isdir(d)
+    }
+    for stale in (on_disk | set(done)) - plan_ids:
         shutil.rmtree(os.path.join(out_dir, f"shard={stale}"), ignore_errors=True)
         try:
             os.remove(_lineage_path(out_dir, stale))
         except OSError:
             pass
+        done.pop(stale, None)
 
     for idx, files in enumerate(shards):
         shard_id = f"{idx:05d}"

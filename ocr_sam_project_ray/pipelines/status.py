@@ -53,7 +53,11 @@ def run_status(out_dir: str) -> dict:
         if rec.get("n_shards") is not None:
             n_planned = max(n_planned or 0, int(rec["n_shards"]))
     shard_dirs = glob.glob(os.path.join(out_dir, "shard=*"))
-    n_seen = len({os.path.basename(d) for d in shard_dirs} | set(done))
+    # strip the 'shard=' prefix so dir names union with lineage ids by id,
+    # not by two spellings of the same shard (would double-count completed
+    # shards and fire partial_completion while shards are still unstarted)
+    dir_ids = {os.path.basename(d).split("=", 1)[1] for d in shard_dirs}
+    n_seen = len(dir_ids | set(done))
     total = n_planned if n_planned is not None else n_seen
 
     completed = len(done)

@@ -141,3 +141,47 @@ def test_range_join_excludes_out_of_range(tmp_path):
     assert got.n_events.tolist() == exp.n_events.tolist()
     assert got.value_cents.tolist() == exp.value_cents.tolist()
     assert got.n_events.sum() == 4  # -5 and 2e9 dropped
+
+
+def test_range_join_non_contiguous_bands_gap_excluded(tmp_path, monkeypatch):
+    """With a GAP between bands ([0,100) then [500,2000)), values in the gap
+    must fall out of the join (SQL BETWEEN semantics), not be assigned to
+    the band below — the operator is documented as the general pattern for
+    arbitrary interval tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import duckdb
+
+    from ocr_sam_project_ray.ops import relational as rel
+
+    gap_bands = [(1, 0.0, 100.0), (3, 500.0, 2000.0)]
+    monkeypatch.setattr(rel, "VALUE_BANDS", gap_bands)
+
+    d = tmp_path / "rjg"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(7), pa.int64()),
+                "ts": pa.array([0] * 7, pa.timestamp("us")),
+                "user_id": pa.array([1] * 7, pa.int64()),
+                "event_type": ["x"] * 7,
+                # 100.0, 250.0, 499.99 sit in the gap and must vanish
+                "value": pa.array(
+                    [50.0, 100.0, 250.0, 499.99, 500.0, 1999.0, 2000.0],
+                    pa.float64(),
+                ),
+                "props": ["{}"] * 7,
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    got = rel.events_range_join(str(d))
+    sql = rel.SQL_EVENTS_RANGE_JOIN.format(bands=rel._bands_sql_values()).replace(
+        "FROM events", f"FROM read_parquet('{d}/events.parquet')"
+    )
+    exp = duckdb.sql(sql).df()
+    assert got.band_id.tolist() == exp.band_id.tolist() == [1, 3]
+    assert got.n_events.tolist() == exp.n_events.tolist() == [1, 2]
+    assert got.value_cents.tolist() == exp.value_cents.tolist()

@@ -163,3 +163,55 @@ def test_pipeline_wiring_preserves_output():
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, base)
+
+
+def test_stable_dlq_schema_keep_columns_and_output_schema():
+    """With keep_columns + output_schema, all-poison and all-success blocks
+    share ONE schema, and poison rows drop the payload column (blobs never
+    travel past the failing stage)."""
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("out", pa.string())]
+    )
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        if 13 in batch["doc_id"].to_pylist():
+            raise FatalError("bad payload")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "out": pa.array(
+                    [t.upper() for t in batch["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    big_payload = pa.table(
+        {
+            "doc_id": pa.array([13, 14], pa.int64()),
+            "text": pa.array(["x", "y"], pa.string()),
+            "payload": pa.array([b"\x00" * 64, b"\x01" * 64], pa.binary()),
+        }
+    )
+    ok_payload = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array([b"\x02" * 64, b"\x03" * 64], pa.binary()),
+        }
+    )
+    wrapped = with_retries(
+        kernel,
+        RetryPolicy(max_attempts=1, sleeper=lambda s: None),
+        keep_columns=["doc_id"],
+        output_schema=out_schema,
+    )
+    mixed = wrapped(big_payload)   # row 13 poisons, row 14 succeeds
+    clean = wrapped(ok_payload)    # all succeed
+    assert mixed.schema.names == clean.schema.names
+    assert "payload" not in mixed.schema.names
+    assert set(mixed.schema.names) == {"doc_id", "out", "success", "error",
+                                       "error_class"}
+    md = mixed.to_pydict()
+    assert md["success"] == [False, True]
+    assert md["out"] == [None, "Y"]
+    assert clean.to_pydict()["success"] == [True, True]
