@@ -381,13 +381,6 @@ def _q_dedup_docs_near_verified(sf_dir: str):
     return kept.select_columns(["doc_id"]).to_pandas().reset_index(drop=True)
 
 
-def _q_minhash_pairs(sf_dir: str):
-    from ocr_sam_project_ray.ops.dedup_text import minhash_lsh_pairs
-
-    df = minhash_lsh_pairs(_docs(sf_dir), threshold=0.7, num_partitions=4).to_pandas()
-    return df[["id_a", "id_b"]].reset_index(drop=True)
-
-
 def _q_simhash_docs(sf_dir: str):
     from ocr_sam_project_ray.ops.dedup_text import simhash_table
 
@@ -616,12 +609,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_verified": _q_near_dup_verified,
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_docs_near_verified": _q_dedup_docs_near_verified,
-        "minhash_pairs": _q_minhash_pairs,        # rows-only (LSH not in SQL)
-        "simhash_docs": _q_simhash_docs,          # rows-only
         "multimodal_meta": _q_multimodal_meta,
         "knn_cosine": _q_knn_cosine,
-        "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
         "cosine_near_pairs": _q_cosine_near_pairs,
+        "bpe_token_count": _q_bpe_token_count,
         # relational / windowed capabilities
         "q1_pricing": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
@@ -636,10 +627,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _q_top_events_per_user,
         "events_stats_by_type": _q_events_stats_by_type,
         "sample_docs": _q_sample_docs,
-        "approx_distinct_users": _q_approx_distinct_users,  # rows-only (sketch)
         "suppliers_by_region": _q_suppliers_by_region,
         "events_json_k": _q_events_json_k,
-        "bpe_token_count": _q_bpe_token_count,
+        # --- no-oracle (approximate / not SQL-expressible) entries LAST:
+        # the round-2 driver snapshot recorded exactly 50 queries and
+        # silently dropped the 51st (bpe_token_count), so the contract is
+        # pinned at 50 entries with every oracle-checked query first.
+        # minhash_pairs was retired from the contract (not the package) to
+        # fit: its kernel IS the first stage of the oracle-certified
+        # near_dup_verified chain and its recall stays pytest-tested.
+        "simhash_docs": _q_simhash_docs,          # rows-only
+        "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
+        "approx_distinct_users": _q_approx_distinct_users,  # rows-only (sketch)
     }
 
 
