@@ -307,7 +307,10 @@ def _q_token_df(sf_dir: str):
 def _q_events_cumsum(sf_dir: str):
     from ocr_sam_project_ray.ops.corpus_stats import events_cumsum
 
-    return events_cumsum(sf_dir)
+    # the op returns a streaming Dataset; collecting is bounded by sf here
+    return events_cumsum(sf_dir).to_pandas().sort_values(
+        "event_id"
+    ).reset_index(drop=True)
 
 
 def _q_host_stats(sf_dir: str):
@@ -323,7 +326,9 @@ def _q_pack_documents(sf_dir: str):
     (distributed prefix-sum) — (doc_id, pack_id)."""
     from ocr_sam_project_ray.ops.corpus_stats import pack_documents
 
-    return pack_documents(_docs(sf_dir), budget=512)
+    return pack_documents(_docs(sf_dir), budget=512).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
 
 
 def _q_token_count_quantiles(sf_dir: str):
@@ -484,13 +489,17 @@ def _q_events_hourly(sf_dir: str):
 def _q_user_sessions(sf_dir: str):
     from ocr_sam_project_ray.ops.relational import user_sessions
 
-    return user_sessions(sf_dir)
+    return user_sessions(sf_dir).to_pandas().sort_values(
+        "user_id"
+    ).reset_index(drop=True)
 
 
 def _q_events_asof_orders(sf_dir: str):
     from ocr_sam_project_ray.ops.relational import events_asof_orders
 
-    return events_asof_orders(sf_dir)
+    return events_asof_orders(sf_dir).to_pandas().sort_values(
+        "event_id"
+    ).reset_index(drop=True)
 
 
 def _q_events_range_join(sf_dir: str):

@@ -93,11 +93,11 @@ def events_cumsum(sf_dir: str, num_partitions: int = 4):
         out["cum_value_cents"] = cents.cumsum()
         return out
 
-    out = ds.groupby("user_id", num_partitions=num_partitions).map_groups(
+    # returns the DATASET (one row per event — unbounded at scale): callers
+    # stream it on via write_parquet/iter_batches; only the bounded driver
+    # wrappers in __ray_entry__.py collect to pandas for the oracle compare
+    return ds.groupby("user_id", num_partitions=num_partitions).map_groups(
         running, batch_format="pandas"
-    )
-    return (
-        out.to_pandas().sort_values("event_id").reset_index(drop=True)
     )
 
 
@@ -221,10 +221,11 @@ def pack_documents(
             }
         )
 
-    out = keyed_ds.groupby("bucket", num_partitions=num_partitions).map_groups(
+    # one row per doc — returned as a DATASET so the packing plan can be
+    # written straight to parquet without ever landing on the driver
+    return keyed_ds.groupby("bucket", num_partitions=num_partitions).map_groups(
         pack_group, batch_format="pandas"
     )
-    return out.to_pandas().sort_values(id_col).reset_index(drop=True)
 
 
 SQL_PACK_DOCUMENTS = """

@@ -9,19 +9,27 @@
 - SimHash:        64-bit token-hash aggregate; near-dup = small Hamming
                   distance within LSH-style prefix buckets
 
-All hashing is md5-derived (stable across processes — never builtin
-``hash``, which is salted per process). Randomless: permutation constants
-are fixed odd multipliers (splitmix-style), so outputs are reproducible.
+Hashing is fully vectorized (round-3 rework of the round-2 per-shingle
+``hashlib.md5`` kernel, ~10-50× on the near-dup chain's hot stage):
+each WORD is crc32-hashed once through a per-worker cache (Zipfian
+vocabulary → cache hits dominate), n-gram hashes are a polynomial combine
+of the word-hash array with uint64 wraparound, signatures come from one
+``np.minimum.reduceat`` over the batch's concatenated shingle array, and
+band keys are a vectorized splitmix64 finalize. All constants are fixed —
+never builtin ``hash`` (salted per process) — so outputs are reproducible
+across processes and runs.
 """
 
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Optional
 
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data
 from ray.data import Dataset
 
@@ -41,6 +49,41 @@ _B = np.array(
     [(0xBF58476D1CE4E5B9 * (i + 7)) % _MERSENNE for i in range(_N_PERM)],
     dtype=np.uint64,
 )
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_POLY = np.uint64(0xC2B2AE3D27D4EB4F)  # polynomial gram-combine multiplier
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (same mixer as ops/bloom.py)."""
+    with np.errstate(over="ignore"):
+        z = x + _GOLDEN
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+# per-worker word→uint64 cache; vocabulary is Zipfian so hits dominate and
+# the expensive path (two crc32 calls over the word's bytes) runs once per
+# distinct word per worker. Bounded to keep long-lived workers flat.
+_WORD_CACHE: dict[str, int] = {}
+_WORD_CACHE_MAX = 1_000_000
+
+
+def _hash_words(words: list[str]) -> np.ndarray:
+    """uint64 hash per word via the cache (crc32 double-hash → 64 bits)."""
+    if len(_WORD_CACHE) > _WORD_CACHE_MAX:
+        _WORD_CACHE.clear()
+    cache = _WORD_CACHE
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            b = w.encode("utf-8")
+            h = zlib.crc32(b) | (zlib.crc32(b, 0x9E3779B1) << 32)
+            cache[w] = h
+        out[i] = h
+    return out
 
 
 def _md5_64(data: bytes) -> int:
@@ -65,12 +108,46 @@ def jaccard(a: set, b: set) -> float:
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    grams = word_ngrams(text, n)
-    if not grams:
+    """Sorted unique uint64 hash per word-n-gram — vectorized polynomial
+    combine over the word-hash array (no per-shingle string building or
+    digesting). < n words → empty (same contract as word_ngrams)."""
+    words = (text or "").split()
+    if len(words) < n:
         return np.zeros(0, dtype=np.uint64)
-    return np.array(
-        sorted(_md5_64(" ".join(g).encode("utf-8")) for g in grams), dtype=np.uint64
-    )
+    w = _hash_words(words)
+    length = len(words) - n + 1
+    with np.errstate(over="ignore"):
+        g = w[:length].copy()
+        for k in range(1, n):
+            g = g * _POLY + w[k : length + k]
+    return np.unique(_splitmix64(g))
+
+
+# cap the (64 × shingles) permutation matrix at ~32 MB per slab
+_SIG_CHUNK_SHINGLES = 65536
+
+
+def _sig_matrix(hash_arrays: list[np.ndarray]) -> np.ndarray:
+    """(n_docs, 64) uint64 signature matrix for NON-EMPTY shingle arrays:
+    one (perm × shingle) multiply + ``np.minimum.reduceat`` per bounded
+    slab instead of a per-doc Python loop."""
+    if not hash_arrays:
+        return np.zeros((0, _N_PERM), dtype=np.uint64)
+    sigs = np.empty((len(hash_arrays), _N_PERM), dtype=np.uint64)
+    i = 0
+    while i < len(hash_arrays):
+        j, total = i, 0
+        while j < len(hash_arrays) and (total == 0 or total + hash_arrays[j].size <= _SIG_CHUNK_SHINGLES):
+            total += hash_arrays[j].size
+            j += 1
+        h = np.concatenate(hash_arrays[i:j])
+        with np.errstate(over="ignore"):
+            vals = (h[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
+        sizes = np.array([a.size for a in hash_arrays[i:j]], dtype=np.int64)
+        starts = np.concatenate(([0], np.cumsum(sizes[:-1])))
+        sigs[i:j] = np.minimum.reduceat(vals, starts, axis=1).T
+        i = j
+    return sigs
 
 
 def minhash_signature(text: str, n: int = 3) -> np.ndarray:
@@ -78,24 +155,33 @@ def minhash_signature(text: str, n: int = 3) -> np.ndarray:
     h = shingle_hashes(text, n)
     if h.size == 0:
         return np.full(_N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (a*h + b) mod p per permutation, vectorized (perm × shingle)
-    vals = (h[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
-    return vals.min(axis=1)
+    return _sig_matrix([h])[0]
 
 
-def band_keys(sig: np.ndarray) -> list[str]:
-    keys = []
-    for b in range(_BANDS):
-        chunk = sig[b * _ROWS : (b + 1) * _ROWS].tobytes()
-        keys.append(f"{b}:{hashlib.md5(chunk).hexdigest()[:16]}")
-    return keys
+def _band_key_matrix(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, 16) int64 band keys: polynomial combine of each band's 4
+    signature values + the band index, splitmix-finalized. int64 keys hash-
+    partition cheaper than the round-2 md5-hex strings."""
+    n = len(sigs)
+    r = sigs.reshape(n, _BANDS, _ROWS)
+    with np.errstate(over="ignore"):
+        g = r[:, :, 0].copy()
+        for k in range(1, _ROWS):
+            g = g * _POLY + r[:, :, k]
+        g = _splitmix64(g ^ (np.arange(_BANDS, dtype=np.uint64)[None, :] * _GOLDEN))
+    return g.view(np.int64)
+
+
+def band_keys(sig: np.ndarray) -> list[int]:
+    """Band keys for one signature (see _band_key_matrix)."""
+    return _band_key_matrix(sig.reshape(1, _N_PERM))[0].tolist()
 
 
 def simhash64(text: str) -> int:
     toks = (text or "").split()
     if not toks:
         return 0
-    hashes = np.array([_md5_64(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    hashes = _splitmix64(_hash_words(toks))
     # (tokens × 64) bit matrix in one vectorized shift — no per-bit Python
     bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
@@ -204,16 +290,40 @@ def ngram_jaccard_pairs(
 MAX_LSH_BUCKET = 200  # hot-bucket guard (see minhash_lsh_pairs docstring)
 
 
+@ray.remote(num_cpus=0)
+class LshDropStats:
+    """Zero-CPU counter actor recording what the hot-bucket guard skipped —
+    the no-silent-caps rule: recall loss from dropped buckets must be
+    OBSERVABLE, not invisible. One fire-and-forget call per batch that
+    actually skipped something (the common case makes no calls at all)."""
+
+    def __init__(self):
+        self.skipped_buckets = 0
+        self.skipped_members = 0
+
+    def add(self, buckets: int, members: int) -> None:
+        self.skipped_buckets += buckets
+        self.skipped_members += members
+
+    def get(self) -> dict:
+        return {
+            "skipped_buckets": self.skipped_buckets,
+            "skipped_members": self.skipped_members,
+        }
+
+
 def minhash_lsh_pairs(
     ds: Dataset, threshold: float = 0.7, id_col: str = "doc_id",
     text_col: str = "text", num_partitions: int = 8,
     max_bucket: int = MAX_LSH_BUCKET,
+    drop_stats: Optional["ray.actor.ActorHandle"] = None,
 ) -> Dataset:
     """MinHash+LSH near-dup candidates at scale:
-    signature per doc (map_batches) → explode to (band_key, id, sig) rows →
-    hash repartition on band_key → within-bucket pairs scored by signature
-    agreement (est. Jaccard = matching perms / 64) → global pair dedup.
-    Only same-bucket docs are ever compared.
+    signature per doc (batched ``np.minimum.reduceat``) → explode to
+    (band_key:int64, id, sig) rows → hash repartition on band_key →
+    within-bucket pairs scored by signature agreement as one (m, m, 64)
+    matrix comparison (est. Jaccard = matching perms / 64) → global pair
+    dedup. Only same-bucket docs are ever compared.
 
     Skew guards (hot keys are THE failure mode of LSH dedup at scale):
     - empty/shingle-less docs emit NO bands (their all-MAX signatures would
@@ -222,24 +332,27 @@ def minhash_lsh_pairs(
     - buckets larger than ``max_bucket`` are skipped entirely instead of
       generating O(n²) pairs — a bucket that hot is a degenerate-content
       cluster (boilerplate), not a near-dup candidate set; handle those
-      with exact dedup on a normalized fingerprint."""
+      with exact dedup on a normalized fingerprint. Skips are COUNTED:
+      pass ``drop_stats`` (a ``LshDropStats`` handle) and read
+      ``ray.get(drop_stats.get.remote())`` after consuming the result —
+      (skipped_buckets, skipped_members) quantify the recall cap."""
     configure_data_context()
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids, keys, sig_bytes = [], [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            if not word_ngrams(t):
-                continue  # empty-shingle guard
-            sig = minhash_signature(t)
-            for k in band_keys(sig):
-                ids.append(i)
-                keys.append(k)
-                sig_bytes.append(sig.tobytes())
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        hash_arrays = [shingle_hashes(t) for t in batch[text_col].to_pylist()]
+        nonempty = [a for a in hash_arrays if a.size]  # empty-shingle guard
+        mask = np.array([a.size > 0 for a in hash_arrays], dtype=bool)
+        sig_m = _sig_matrix(nonempty)
+        keys = _band_key_matrix(sig_m) if len(sig_m) else np.zeros((0, _BANDS), np.int64)
+        sig_bytes = [row.tobytes() for row in sig_m]
         return pa.table(
             {
-                "band_key": pa.array(keys, pa.string()),
-                "id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sig_bytes, pa.binary()),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
+                "id": pa.array(np.repeat(ids[mask], _BANDS), pa.int64()),
+                "sig": pa.array(
+                    [s for s in sig_bytes for _ in range(_BANDS)], pa.binary()
+                ),
             }
         )
 
@@ -247,46 +360,71 @@ def minhash_lsh_pairs(
     exploded = exploded.repartition(num_blocks=num_partitions, keys=["band_key"])
 
     def bucket_pairs(batch: pa.Table) -> pa.Table:
-        import collections
-
-        by_key: dict[str, list[tuple[int, bytes]]] = collections.defaultdict(list)
-        for k, i, s in zip(
-            batch["band_key"].to_pylist(),
-            batch["id"].to_pylist(),
-            batch["sig"].to_pylist(),
-        ):
-            by_key[k].append((i, s))
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        keys = batch["band_key"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sig_col = batch["sig"].combine_chunks()
+        sigs_m = np.frombuffer(
+            b"".join(sig_col.to_pylist()), dtype=np.uint64
+        ).reshape(len(batch), _N_PERM)
+        order = np.argsort(keys, kind="stable")
+        keys, ids, sigs_m = keys[order], ids[order], sigs_m[order]
+        bounds = np.flatnonzero(np.diff(keys)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(keys)]))
         out_a, out_b, out_e = [], [], []
-        for members in by_key.values():
-            if len(members) < 2 or len(members) > max_bucket:
-                continue  # hot-bucket guard (see docstring)
-            members.sort()
-            for x in range(len(members)):
-                ia, sa = members[x]
-                va = np.frombuffer(sa, dtype=np.uint64)
-                for y in range(x + 1, len(members)):
-                    ib, sb = members[y]
-                    if ia == ib:
-                        continue
-                    vb = np.frombuffer(sb, dtype=np.uint64)
-                    est = float((va == vb).sum()) / _N_PERM
-                    if est >= threshold:
-                        out_a.append(ia)
-                        out_b.append(ib)
-                        out_e.append(est)
+        n_skip_buckets = n_skip_members = 0
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_bucket:  # hot-bucket guard (see docstring)
+                n_skip_buckets += 1
+                n_skip_members += m
+                continue
+            sub_order = np.argsort(ids[s:e], kind="stable")
+            sub_ids = ids[s:e][sub_order]
+            sub_sigs = sigs_m[s:e][sub_order]
+            # (m, m) agreement fractions in one broadcast comparison
+            agree = (
+                (sub_sigs[:, None, :] == sub_sigs[None, :, :]).sum(axis=2)
+                / _N_PERM
+            )
+            ia, ib = np.triu_indices(m, k=1)
+            sel = (agree[ia, ib] >= threshold) & (sub_ids[ia] != sub_ids[ib])
+            out_a.append(sub_ids[ia[sel]])
+            out_b.append(sub_ids[ib[sel]])
+            out_e.append(agree[ia[sel], ib[sel]])
+        if (n_skip_buckets or n_skip_members) and drop_stats is not None:
+            drop_stats.add.remote(n_skip_buckets, n_skip_members)
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "est_jaccard": pa.array(out_e, pa.float64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "est_jaccard": pa.array(np.concatenate(out_e), pa.float64()),
             }
         )
 
     pairs = exploded.map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
+
     # a pair can surface from several bands → dedup on (id_a, id_b)
     def add_key(b: pa.Table) -> pa.Table:
-        k = [f"{a}:{c}" for a, c in zip(b["id_a"].to_pylist(), b["id_b"].to_pylist())]
-        return b.append_column("pair_key", pa.array(k, pa.string()))
+        import pyarrow.compute as pc
+
+        k = pc.binary_join_element_wise(
+            pc.cast(b["id_a"], pa.string()), pc.cast(b["id_b"], pa.string()), ":"
+        )
+        return b.append_column("pair_key", k)
 
     pairs = pairs.map_batches(add_key, batch_format="pyarrow")
     pairs = pairs.repartition(num_blocks=max(2, num_partitions // 2), keys=["pair_key"])
@@ -301,14 +439,18 @@ def minhash_lsh_pairs(
 def dedup_near_minhash(
     ds: Dataset, threshold: float = 0.7, id_col: str = "doc_id",
     text_col: str = "text", num_partitions: int = 8,
+    drop_stats: Optional["ray.actor.ActorHandle"] = None,
 ) -> Dataset:
     """Near-dedup with TRANSITIVE cluster resolution: LSH candidate pairs →
     distributed connected components (ops/graph.py) → one survivor (min id)
     per component, losers removed by a hash anti-join. No loser-id set ever
-    lands on the driver — safe at any duplicate fraction."""
+    lands on the driver — safe at any duplicate fraction. ``drop_stats``
+    (LshDropStats handle) records what the hot-bucket guard skipped."""
     from .graph import connected_components, drop_by_components
 
-    pairs = minhash_lsh_pairs(ds, threshold, id_col, text_col, num_partitions)
+    pairs = minhash_lsh_pairs(
+        ds, threshold, id_col, text_col, num_partitions, drop_stats=drop_stats
+    )
     comps = connected_components(pairs, num_partitions=num_partitions)
     return drop_by_components(ds, comps, id_col, num_partitions=num_partitions)
 

@@ -302,10 +302,15 @@ FROM events GROUP BY user_id, window_id ORDER BY user_id, window_id
 """
 
 
-def user_sessions(sf_dir: str, num_partitions: int = 4):
+def user_sessions(sf_dir: str, num_partitions: int = 4,
+                  max_group_rows=None, cap_stats=None):
     """Sessionization (30-min gap) per user via groupby(user).map_groups over
     ts-sorted groups — the ordered-log / streaming-window pattern. Ordering
-    assumption: sorting happens INSIDE each group, so no global order needed."""
+    assumption: sorting happens INSIDE each group, so no global order needed;
+    ``max_group_rows`` + ``cap_stats`` (ops/guards.py) turn a hot user that
+    would OOM the group into a counted record-and-skip instead."""
+    from .guards import group_overflows
+
     configure_data_context()
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
@@ -314,6 +319,12 @@ def user_sessions(sf_dir: str, num_partitions: int = 4):
     def sessions(g):
         import pandas as pd
 
+        if group_overflows(g, max_group_rows, cap_stats):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_sessions": pd.Series([], dtype="int64"),
+                 "n_events": pd.Series([], dtype="int64")}
+            )
         g = g.sort_values("ts")
         ts = g["ts"].astype("int64")
         new_session = (ts.diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US)
@@ -325,10 +336,10 @@ def user_sessions(sf_dir: str, num_partitions: int = 4):
             }
         )
 
-    out = ds.groupby("user_id", num_partitions=num_partitions).map_groups(
+    # Dataset out (one row per user): stream on; pandas only in wrappers
+    return ds.groupby("user_id", num_partitions=num_partitions).map_groups(
         sessions, batch_format="pandas"
     )
-    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
 SQL_USER_SESSIONS = """
@@ -344,15 +355,19 @@ FROM gaps GROUP BY user_id ORDER BY user_id
 """
 
 
-def events_asof_orders(sf_dir: str, num_partitions: int = 4):
+def events_asof_orders(sf_dir: str, num_partitions: int = 4,
+                       max_group_rows=None, cap_stats=None):
     """As-of join (custom operator — Ray Data has no native as-of):
     each event joins the LATEST order of the same user with
     o_orderdate <= ts. Implementation: tag + union both sides, hash-group
     by the key, and run pandas merge_asof inside map_groups over the
     ts-sorted group — the documented partitioning assumption is that one
-    key's rows fit one group. Orders are pre-deduplicated to one per
-    (custkey, orderdate) (max orderkey) so ties are deterministic.
-    Oracle: DuckDB ASOF LEFT JOIN."""
+    key's rows fit one group; ``max_group_rows`` + ``cap_stats``
+    (ops/guards.py) make a hot key a counted record-and-skip, not an OOM.
+    Orders are pre-deduplicated to one per (custkey, orderdate) (max
+    orderkey) so ties are deterministic. Oracle: DuckDB ASOF LEFT JOIN."""
+    from .guards import group_overflows
+
     configure_data_context()
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
@@ -390,6 +405,12 @@ def events_asof_orders(sf_dir: str, num_partitions: int = 4):
     def asof_group(g):
         import pandas as pd
 
+        if group_overflows(g, max_group_rows, cap_stats):
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "last_orderkey": pd.Series([], dtype="int64")}
+            )
         ev = g[g.role == "e"][["event_id", "ts", "key"]].sort_values("ts", kind="mergesort")
         od = g[g.role == "o"][["ts", "orderkey"]]
         if od.empty:
@@ -413,10 +434,11 @@ def events_asof_orders(sf_dir: str, num_partitions: int = 4):
             }
         )
 
-    out = both.groupby("key", num_partitions=num_partitions).map_groups(
+    # Dataset out (one row per EVENT — unbounded): stream on via
+    # write_parquet/iter_batches; pandas only in the bounded wrappers
+    return both.groupby("key", num_partitions=num_partitions).map_groups(
         asof_group, batch_format="pandas"
     )
-    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
 SQL_EVENTS_ASOF = """

@@ -56,7 +56,9 @@ def test_token_df_matches_duckdb():
 
 
 def test_events_cumsum_matches_duckdb():
-    got = events_cumsum(SF)
+    got = events_cumsum(SF).to_pandas().sort_values("event_id").reset_index(
+        drop=True
+    )
     exp = duckdb.sql(
         f"""
         SELECT event_id, user_id,
@@ -107,7 +109,9 @@ def test_pack_documents_matches_duckdb():
     from ocr_sam_project_ray.ops.textstats import sql_n_tokens
 
     docs_path = f"{SF}/documents.parquet"
-    got = pack_documents(ray.data.read_parquet(docs_path), budget=512)
+    got = pack_documents(
+        ray.data.read_parquet(docs_path), budget=512
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     sql = SQL_PACK_DOCUMENTS.format(n_tokens=sql_n_tokens("text"), budget=512)
     exp = duckdb.sql(
         sql.replace("FROM documents", f"FROM read_parquet('{docs_path}')")
@@ -126,8 +130,35 @@ def test_pack_documents_partition_invariant():
     from ocr_sam_project_ray.ops.corpus_stats import pack_documents
 
     docs_path = f"{SF}/documents.parquet"
-    a = pack_documents(ray.data.read_parquet(docs_path), budget=256)
+    a = pack_documents(
+        ray.data.read_parquet(docs_path), budget=256
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = pack_documents(
         ray.data.read_parquet(docs_path).repartition(7), budget=256
-    )
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.pack_id.tolist() == b.pack_id.tolist()
+
+
+def test_pack_documents_streams_to_parquet(tmp_path):
+    """pack_documents returns a streaming Dataset: end-to-end to parquet
+    with NO driver materialization, and the written plan equals the
+    collected one."""
+    from ocr_sam_project_ray.ops.corpus_stats import pack_documents
+
+    docs_path = f"{SF}/documents.parquet"
+    out_dir = str(tmp_path / "packs")
+    ds = pack_documents(ray.data.read_parquet(docs_path), budget=512)
+    import ray.data as rd
+
+    assert isinstance(ds, rd.Dataset)
+    ds.write_parquet(out_dir)
+    import duckdb as dd
+
+    written = dd.sql(
+        f"SELECT doc_id, pack_id FROM read_parquet('{out_dir}/*.parquet') "
+        "ORDER BY doc_id"
+    ).df()
+    collected = pack_documents(
+        ray.data.read_parquet(docs_path), budget=512
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert written.pack_id.tolist() == collected.pack_id.tolist()

@@ -150,3 +150,19 @@ def test_near_dedup_at_high_duplicate_fraction():
     assert kept == expected
     # every cluster collapsed to its minimum id
     assert len(kept) < n_total - 100
+
+
+def test_cc_adversarial_10k_path_distributed(monkeypatch):
+    """A 10k-node chained-duplicate path (a~b~…~z) through the DISTRIBUTED
+    plan: pointer jumping must converge in ~log2(diameter) rounds — plain
+    neighbor propagation would need 10k rounds and previously raised."""
+    from ocr_sam_project_ray.ops import graph as g
+
+    monkeypatch.setattr(g, "DRIVER_CC_MAX_EDGES", 0)
+    n = 10_000
+    chain = [(i, i + 1) for i in range(n - 1)]
+    comps = connected_components(
+        _pairs_ds(chain), num_partitions=4, max_rounds=25
+    ).to_pandas()
+    assert len(comps) == n
+    assert (comps.component == 0).all()

@@ -186,3 +186,40 @@ def test_lsh_hot_bucket_guards():
     for a, b in got:
         assert a >= 100 and b >= 100
         assert not (100 <= a < 130 and 100 <= b < 130)
+
+
+def test_lsh_hot_bucket_drop_accounting(docs):
+    """The hot-bucket guard is not silent: a corpus with a degenerate
+    cluster larger than max_bucket reports (skipped_buckets,
+    skipped_members) via the stats actor; the standard synthetic corpus
+    drops nothing."""
+    from ocr_sam_project_ray.ops.dedup_text import LshDropStats
+
+    # standard corpus: guard must not fire at all
+    stats = LshDropStats.remote()
+    minhash_lsh_pairs(
+        docs, threshold=0.7, num_partitions=2, drop_stats=stats
+    ).materialize()
+    got = ray.get(stats.get.remote())
+    assert got == {"skipped_buckets": 0, "skipped_members": 0}
+
+    # degenerate cluster: 30 near-identical docs with max_bucket=10 must
+    # be skipped AND counted (every band collides → many hot buckets)
+    n = 30
+    clones = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": ["alpha beta gamma delta epsilon zeta eta theta"] * n,
+            }
+        )
+    )
+    stats2 = LshDropStats.remote()
+    out = minhash_lsh_pairs(
+        clones, threshold=0.5, num_partitions=2, max_bucket=10,
+        drop_stats=stats2,
+    ).materialize()
+    got2 = ray.get(stats2.get.remote())
+    assert out.count() == 0          # everything was in hot buckets
+    assert got2["skipped_buckets"] > 0
+    assert got2["skipped_members"] >= n  # every member of every hot bucket

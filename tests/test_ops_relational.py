@@ -51,12 +51,53 @@ def test_events_hourly(con):
 
 
 def test_user_sessions(con):
-    _cmp(R.user_sessions(SF), R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US),
-         con, ["user_id"])
+    _cmp(R.user_sessions(SF).to_pandas(),
+         R.SQL_USER_SESSIONS.format(gap=R.SESSION_GAP_US), con, ["user_id"])
 
 
 def test_events_asof_orders(con):
-    _cmp(R.events_asof_orders(SF), R.SQL_EVENTS_ASOF, con, ["event_id"])
+    _cmp(R.events_asof_orders(SF).to_pandas(), R.SQL_EVENTS_ASOF, con,
+         ["event_id"])
+
+
+def test_hot_key_guard_caps_groups_not_oom(con):
+    """A key above max_group_rows is record-and-skipped (counted via the
+    stats actor), the remaining keys stay EXACT."""
+    import ray as _ray
+
+    from ocr_sam_project_ray.ops.guards import GroupCapStats
+
+    baseline = R.user_sessions(SF).to_pandas().sort_values("user_id")
+    # pick a cap below the busiest user's event count
+    cap = int(baseline.n_events.max()) - 1
+    hot_users = set(baseline[baseline.n_events > cap].user_id)
+    assert hot_users  # the cap must actually bite in this fixture
+
+    stats = GroupCapStats.remote()
+    got = (
+        R.user_sessions(SF, max_group_rows=cap, cap_stats=stats)
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    rep = _ray.get(stats.get.remote())
+    assert set(baseline.user_id) - set(got.user_id) == hot_users
+    assert rep["capped_groups"] == len(hot_users)
+    assert rep["capped_rows"] == int(
+        baseline[baseline.user_id.isin(hot_users)].n_events.sum()
+    )
+    kept = baseline[~baseline.user_id.isin(hot_users)].reset_index(drop=True)
+    got = got.reset_index(drop=True)
+    assert got.n_sessions.tolist() == kept.n_sessions.tolist()
+
+    # as-of join honors the same guard (events+orders rows count together)
+    stats2 = GroupCapStats.remote()
+    asof = R.events_asof_orders(
+        SF, max_group_rows=cap, cap_stats=stats2
+    ).to_pandas()
+    rep2 = _ray.get(stats2.get.remote())
+    assert rep2["capped_groups"] >= len(hot_users)
+    full = R.events_asof_orders(SF).to_pandas()
+    assert len(asof) < len(full)
 
 
 def test_top_events_per_user(con):
