@@ -303,62 +303,112 @@ def _compose_page(rng: random.Random, url: str, body_scale: int = 1):
 
 
 def _render_pdf_like(rng: random.Random, doc_lines: list[str]) -> bytes:
-    """Render the composed document as the PDF-like fixture (see
-    functions/pdf_text.py). The layout parser must perform REAL work to
-    recover ``doc_lines`` byte-identically:
+    """Render the composed document as a GENUINE PDF file (round-3:
+    functions/pdf_build.py — real xref/page-tree/FlateDecode structure,
+    text placed with Tm/Td/TD/T*/Tj/'/TJ operators over literal AND hex
+    strings). The layout parser must perform REAL work to recover
+    ``doc_lines`` byte-identically:
 
-    - records are SCRAMBLED within each page → (y, x) reading-order sort;
-    - ~half of the wide pages are laid out in TWO COLUMNS (first half of
-      the page's lines at x∈[50,120), second half restarting at y=60 at
-      x∈[400,470)) → naive global (y, x) sorting interleaves the columns
-      and fails; intra-column x ranges are kept narrower than COLUMN_GAP
-      so column detection is unambiguous;
-    - multi-page documents carry a repeated HEADER (y=20) and FOOTER
-      (y=1e6) on every page → suppressed by the repetition heuristic;
-    - some pages carry a size-4 WATERMARK record → suppressed by size.
+    - text blocks are SCRAMBLED within each content stream → (y, x)
+      reading-order sort over interpreted coordinates;
+    - ~half of the pages are laid out in TWO COLUMNS (x∈[50,120) and
+      x∈[320,390), both restarting at y=720) → naive global sorting
+      interleaves the columns and fails; intra-column x jitter stays
+      narrower than COLUMN_GAP so detection is unambiguous;
+    - multi-page documents carry a repeated HEADER (y=768) and FOOTER
+      (y=24) on every page → suppressed by the repetition heuristic;
+    - some pages carry a size-4 WATERMARK → suppressed by font size;
+    - structure varies: compressed streams, /Contents arrays (~20% of
+      pages), nested /Pages trees (~25% of 3+-page docs).
 
     The expected text is composed FIRST (doc_lines); this renderer only
     encodes it — the parser is never consulted during generation."""
-    n_pages = min(len(doc_lines), rng.randrange(1, 4))
-    bounds = sorted(rng.sample(range(1, len(doc_lines)), n_pages - 1)) \
-        if n_pages > 1 else []
+    from ..functions.pdf_build import build_pdf, text_block
+
+    # paginate by per-page capacity (content band 720 → ~250 holds ≤40
+    # 12-pt-leading lines per column, well clear of the footer band)
+    chunks: list[tuple[list[str], bool]] = []
+    i = 0
+    while i < len(doc_lines):
+        cap = rng.randrange(18, 41)
+        two_cols = rng.random() < 0.5 and len(doc_lines) - i >= 6
+        take = min(len(doc_lines) - i, cap * 2 if two_cols else cap)
+        chunks.append((doc_lines[i : i + take], two_cols))
+        i += take
+    n_pages = len(chunks)
     header = f"DOC-{rng.randrange(10**6)} EXPEDIENTE CONFIDENCIAL"
     footer = "documento generado automaticamente - no firmar"
+
     pages = []
-    start = 0
-    for b in bounds + [len(doc_lines)]:
-        chunk = doc_lines[start:b]
-        start = b
-        two_cols = len(chunk) >= 6 and rng.random() < 0.5
-        records = []
+    for chunk, two_cols in chunks:
+        blocks: list[str] = []
+
+        def emit_column(lines: list[str], x_lo: int, x_hi: int) -> None:
+            # blocks of 1-4 sequential lines (relative T*/Td/' motion);
+            # block ORDER is scrambled below — absolute Tm anchors each
+            j = 0
+            y = 720
+            while j < len(lines):
+                blen = min(rng.randrange(1, 5), len(lines) - j)
+                seg: list = []
+                for ln in lines[j : j + blen]:
+                    style = rng.random()
+                    if style < 0.15 and len(ln) > 4:
+                        cut = rng.randrange(1, len(ln) - 1)
+                        seg.append(("tj_array",
+                                    [ln[:cut], rng.randrange(-120, -10),
+                                     ln[cut:]]))
+                    elif style < 0.25:
+                        seg.append(("hex", ln))
+                    elif style < 0.35 and seg:
+                        seg.append(("quote", ln))
+                    else:
+                        seg.append(ln)
+                blocks.append(text_block(
+                    rng.randrange(x_lo, x_hi), y, rng.choice([9, 10, 11]),
+                    seg, leading=12, relative=rng.random() < 0.7,
+                    use_td=rng.random() < 0.3,
+                ))
+                y -= 12 * blen
+                j += blen
+
         if two_cols:
-            k = len(chunk) // 2
-            for i, ln in enumerate(chunk[:k]):
-                records.append(f"@{60 + i * 10},{rng.randrange(50, 120)}:{ln}")
-            for j, ln in enumerate(chunk[k:]):
-                records.append(f"@{60 + j * 10},{rng.randrange(400, 470)}:{ln}")
+            k = (len(chunk) + 1) // 2
+            emit_column(chunk[:k], 50, 120)
+            emit_column(chunk[k:], 320, 390)
         else:
-            for i, ln in enumerate(chunk):
-                records.append(f"@{60 + i * 10},{rng.randrange(50, 150)}:{ln}")
+            emit_column(chunk, 50, 150)
         if n_pages >= 2:  # repeated boilerplate — parser must suppress
-            records.append(f"@20,{rng.randrange(50, 150)}:{header}")
-            records.append(f"@1000000,{rng.randrange(50, 150)},s8:{footer}")
+            blocks.append(text_block(rng.randrange(50, 150), 768, 9, [header]))
+            blocks.append(text_block(rng.randrange(50, 150), 24, 8, [footer]))
         if rng.random() < 0.3:  # fine-print watermark — dropped by size
-            records.append(f"@{rng.randrange(60, 500)},{rng.randrange(50, 150)},s4:BORRADOR")
-        rng.shuffle(records)
-        pages.append("\n".join(records))
-    raw = ("%PDF-1.4\n" + "\x0c".join(pages) + "\n%%EOF").encode("utf-8")
-    if len(raw) < MIN_HTML_BYTES:
-        raw += b"\n%" + b"p" * (MIN_HTML_BYTES - len(raw))
-    return raw
+            blocks.append(text_block(rng.randrange(50, 150),
+                                     rng.randrange(150, 600), 4, ["BORRADOR"]))
+        rng.shuffle(blocks)
+        pages.append(blocks)
+
+    split = frozenset(p for p in range(n_pages) if rng.random() < 0.2)
+    return build_pdf(
+        pages,
+        compress=True,
+        pad_to=MIN_HTML_BYTES,
+        nested_tree=(n_pages >= 3 and rng.random() < 0.25),
+        split_contents_pages=split,
+    )
 
 
 def _malformed_page(rng: random.Random):
     mode = rng.choice(["empty", "truncated", "tiny", "junk", "pdf_noeof"])
     if mode == "pdf_noeof":
-        raw = ("%PDF-1.4\n" + "@10,5:contenido truncado\n" * 60).encode()
-        if len(raw) < MIN_HTML_BYTES:
-            raw += b"%" * MIN_HTML_BYTES
+        # a structurally real PDF torn before its %%EOF marker
+        from ..functions.pdf_build import build_pdf, text_block
+
+        blocks = [
+            text_block(50, 720 - 12 * i, 10, ["contenido truncado"])
+            for i in range(20)
+        ]
+        raw = build_pdf([blocks], compress=True, pad_to=MIN_HTML_BYTES,
+                        drop_eof=True)
         return raw, "Invalid PDF file: missing EOF marker"
     if mode == "empty":
         return b"", "HTML too small: 0 bytes (min: %d)" % MIN_HTML_BYTES
@@ -570,7 +620,7 @@ def split_offsets_by_url(pages_t: pa.Table, n_files: int) -> list[tuple[int, int
 CACHE_ROOT = os.environ.get("OCR_SAM_RAY_CORPUS_DIR", "/tmp/ocr_sam_ray_corpus")
 
 # bump when generator output changes so stale caches are never read
-CORPUS_VERSION = "v7"
+CORPUS_VERSION = "v8"  # v8 = REAL PDF payloads (pdf_build.py) + real image bytes
 
 # pages per scale tier (sf names mirror /root/testdata convention); bench
 # tiers use body_scale>1 (larger pages) so compute dominates fixed costs
