@@ -393,16 +393,20 @@ def _q_simhash_docs(sf_dir: str):
 
 
 def _q_multimodal_meta(sf_dir: str):
-    """Full typed metadata surface of the decode stage: byte accounting +
-    digest (real), container format (real magic-byte sniffing), and the
-    digest-derived stub dims / EXIF fields — every column SQL-recomputed."""
+    """Full typed metadata surface of the decode stage. doc_id % 5 ∈
+    {0,1,2} rows carry REAL PNG/GIF/BMP files (ops/imagebytes.py) whose
+    dimensions/density the engine recovers by REAL header parsing
+    (struct over IHDR / GIF LSD / BITMAPINFOHEADER — ops/multimodal.py
+    decode_image_header); the rest carry text bytes and exercise the
+    sniff + labeled-stub path. The oracle recomputes every column in
+    closed form from (doc_id, text); a wrong header parse mismatches."""
     from ocr_sam_project_ray.ops.multimodal import decode_payloads, payloads_from_documents
 
     ds = decode_payloads(payloads_from_documents(_docs(sf_dir)))
     return (
         ds.select_columns(
-            ["item_id", "n_bytes", "digest", "format", "width", "height",
-             "orientation", "dpi"]
+            ["item_id", "n_bytes", "format", "width", "height",
+             "orientation", "dpi", "decode_backend"]
         )
         .to_pandas()
         .reset_index(drop=True)
@@ -959,27 +963,46 @@ def _ops_oracles() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
         """,
-        # digest-byte helpers: byte k of md5 = hex chars 2k+1..2k+2
+        # doc_id%5 in (0,1,2) rows are REAL PNG/GIF/BMP files padded to
+        # 2048 bytes with closed-form dims/density (ops/imagebytes.py);
+        # other rows are text bytes → sniff + digest stub (byte k of
+        # md5 = hex chars 2k+1..2k+2). The engine recovers image rows by
+        # real header parsing; the oracle recomputes them in closed form.
         "multimodal_meta": """
             WITH m AS (
-              SELECT doc_id AS item_id, strlen(text) AS n_bytes,
-                     md5(text) AS digest, text FROM documents
+              SELECT doc_id AS item_id, doc_id % 5 AS k,
+                     strlen(text) AS text_bytes, md5(text) AS digest, text
+              FROM documents
             )
-            SELECT item_id, n_bytes, digest,
-                   CASE WHEN starts_with(text, 'GIF87a')
+            SELECT item_id,
+                   CASE WHEN k IN (0, 1, 2) THEN 2048
+                        ELSE text_bytes END AS n_bytes,
+                   CASE WHEN k = 0 THEN 'png'
+                        WHEN k = 1 THEN 'gif'
+                        WHEN k = 2 THEN 'bmp'
+                        WHEN starts_with(text, 'GIF87a')
                           OR starts_with(text, 'GIF89a') THEN 'gif'
                         WHEN starts_with(text, 'BM') THEN 'bmp'
                         WHEN starts_with(text, 'RIFF')
                              AND substr(text, 9, 4) = 'WEBP' THEN 'webp'
                         ELSE 'unknown' END AS format,
-                   CAST(64 + CAST('0x' || substr(digest, 1, 2) AS INT) % 192
-                        AS INT) AS width,
-                   CAST(64 + CAST('0x' || substr(digest, 3, 2) AS INT) % 192
-                        AS INT) AS height,
-                   CAST(1 + CAST('0x' || substr(digest, 5, 2) AS INT) % 8
-                        AS INT) AS orientation,
-                   CAST(72 + (CAST('0x' || substr(digest, 7, 2) AS INT) % 4) * 72
-                        AS INT) AS dpi
+                   CAST(CASE WHEN k IN (0, 1, 2) THEN 2 + item_id % 31
+                        ELSE 64 + CAST('0x' || substr(digest, 1, 2) AS INT)
+                             % 192 END AS INT) AS width,
+                   CAST(CASE WHEN k IN (0, 1, 2) THEN 2 + item_id % 17
+                        ELSE 64 + CAST('0x' || substr(digest, 3, 2) AS INT)
+                             % 192 END AS INT) AS height,
+                   CAST(CASE WHEN k IN (0, 1, 2) THEN 1
+                        ELSE 1 + CAST('0x' || substr(digest, 5, 2) AS INT)
+                             % 8 END AS INT) AS orientation,
+                   CAST(CASE WHEN k IN (0, 2) THEN 72 + (item_id % 4) * 72
+                        WHEN k = 1 THEN 72
+                        ELSE 72 + (CAST('0x' || substr(digest, 7, 2) AS INT)
+                             % 4) * 72 END AS INT) AS dpi,
+                   CASE WHEN k = 0 THEN 'png-header'
+                        WHEN k = 1 THEN 'gif-header'
+                        WHEN k = 2 THEN 'bmp-header'
+                        ELSE 'stub' END AS decode_backend
             FROM m
         """,
         "knn_cosine": """

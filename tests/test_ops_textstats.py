@@ -58,9 +58,19 @@ def test_multimodal_decode_plumbing():
     out = decode_payloads(payloads_from_documents(docs)).to_pandas()
     assert len(out) == 500
     assert "payload" not in out.columns  # blobs dropped after decode
-    assert (out.decode_backend == "stub").all()  # no Pillow in container
+    # doc_id%5 in (0,1,2) rows are REAL images → real header backends;
+    # text rows fall to the labeled stub (no Pillow in container)
+    k = out.item_id % 5
+    assert (out.decode_backend[k == 0] == "png-header").all()
+    assert (out.decode_backend[k == 1] == "gif-header").all()
+    assert (out.decode_backend[k == 2] == "bmp-header").all()
+    assert (out.decode_backend[k > 2] == "stub").all()
+    img = out[k <= 2]
+    assert (img.n_bytes == 2048).all()
+    assert (img.width == 2 + img.item_id % 31).all()
+    assert (img.height == 2 + img.item_id % 17).all()
+    assert (img.orientation == 1).all()
     assert (out.n_bytes > 0).all()
-    assert out.width.between(64, 255).all() and out.height.between(64, 255).all()
     assert out.orientation.between(1, 8).all()
     assert set(out.dpi) <= {72, 144, 216, 288}
     # deterministic across runs
@@ -68,6 +78,38 @@ def test_multimodal_decode_plumbing():
     a = out.sort_values("item_id").reset_index(drop=True)
     b = out2.sort_values("item_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_image_header_decode_roundtrip():
+    """build → header-decode inverse over a dimension/density grid, plus
+    hostile-byte rejection (text can never take the header path)."""
+    from ocr_sam_project_ray.ops.imagebytes import (
+        IMG_BYTES, pad_payload, tiny_bmp, tiny_gif, tiny_png,
+    )
+    from ocr_sam_project_ray.ops.multimodal import decode_image_header
+
+    for w in (1, 2, 7, 31, 32):
+        for h in (1, 3, 17, 18):
+            for dpi in (72, 144, 216, 288):
+                assert decode_image_header(tiny_png(w, h, dpi)) == \
+                    (w, h, dpi, "png-header")
+                assert decode_image_header(tiny_bmp(w, h, dpi)) == \
+                    (w, h, dpi, "bmp-header")
+            assert decode_image_header(tiny_gif(w, h)) == \
+                (w, h, 72, "gif-header")
+            # padding must not perturb the parse
+            assert decode_image_header(pad_payload(tiny_gif(w, h))) == \
+                (w, h, 72, "gif-header")
+    assert len(pad_payload(tiny_bmp(32, 18, 288))) == IMG_BYTES
+    # JPEG SOF scan on a hand-crafted minimal frame header
+    jpeg = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+            b"\xff\xc0\x00\x11\x08\x01\x40\x00\xf0\x03\x01\x22\x00\x02\x11"
+            b"\x01\x03\x11\x01")
+    assert decode_image_header(jpeg) == (240, 320, 72, "jpeg-sof")
+    # hostile / text payloads → None (stub path)
+    for bad in (b"", b"plain text", "GIF89aXXXXXXXXXX".encode(),
+                b"BM" + b"A" * 60, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4):
+        assert decode_image_header(bad) is None
 
 
 def test_format_sniffing_magic_bytes():
