@@ -218,9 +218,68 @@ def _read_literal(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
+_TOK_RE = re.compile(
+    rb"(?P<skip>[\s\x00]+|%[^\r\n]*|<<|>>)"       # ws / comment / dict marks
+    rb"|(?P<lit>\((?:[^()\\]|\\.)*\))"            # literal, no nested parens
+    rb"|(?P<hex><[0-9A-Fa-f\s]*>)"
+    rb"|(?P<mark>[\[\]])"
+    rb"|/(?P<name>[^\s\x00()<>\[\]{}/%]*)"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<op>[^\s\x00()<>\[\]{}/%]+)"
+    rb"|(?P<other>.)",
+    re.DOTALL,
+)
+
+
 def _tokens(data: bytes):
     """Yield ("str", bytes) | ("num", float) | ("name", bytes) |
-    ("op", bytes) | ("mark", b"[" / b"]")."""
+    ("op", bytes) | ("mark", b"[" / b"]").
+
+    Compiled-scanner fast path: one alternation regex consumes the stream
+    in C. Literal strings WITHOUT unescaped nested parentheses (the
+    overwhelmingly common case — writers escape delimiters) match as a
+    single group; escape decoding runs only when a backslash is present,
+    and a literal that fails the regex (legal nested unescaped parens)
+    falls back to the character-walk reader. Token-for-token equal to
+    ``_tokens_reference`` (equality-tested over the corpus)."""
+    for m in _TOK_RE.finditer(data):
+        kind = m.lastgroup
+        if kind == "skip":
+            continue
+        if kind == "lit":
+            raw = m.group()[1:-1]
+            if b"\\" in raw:
+                raw = _read_literal(b"(" + raw + b")", 0)[0]
+            yield ("str", raw)
+        elif kind == "num":
+            yield ("num", float(m.group()))
+        elif kind == "op":
+            yield ("op", m.group())
+        elif kind == "name":
+            yield ("name", m.group("name"))
+        elif kind == "mark":
+            yield ("mark", m.group())
+        elif kind == "hex":
+            hx = re.sub(rb"\s", b"", m.group()[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                yield ("str", bytes.fromhex(hx.decode("ascii")))
+            except ValueError:
+                pass
+        elif m.group() == b"(":  # nested-paren literal → slow reader
+            s, end = _read_literal(data, m.start())
+            yield ("str", s)
+            yield from _tokens(data[end:])
+            return
+        elif m.group() == b"<" and data.find(b">", m.end()) < 0:
+            return  # unterminated hex string: stop (reference parity)
+        # any other single hostile byte is skipped (tolerant)
+
+
+def _tokens_reference(data: bytes):
+    """Character-walk tokenizer — the reference implementation the fast
+    scanner above is equality-tested against."""
     i, n = 0, len(data)
     while i < n:
         c = data[i : i + 1]
@@ -272,11 +331,15 @@ def _tokens(data: bytes):
                 i = j if j > i else i + 1
 
 
-def _interpret(data: bytes) -> list[tuple[int, int, int, str]]:
-    """Content stream → records (y_down, x, size, text). Text state per the
-    PDF spec subset documented in the module docstring; only the
-    translation components of Tm are honored (the corpus and the reference
-    never rotate/scale text)."""
+def _interpret_via_tokens(data: bytes) -> list[tuple[int, int, int, str]]:
+    """Content stream → records (y_down, x, size, text) — reference
+    implementation driven by the ``_tokens`` generator. ``_interpret``
+    below inlines the same scanner for speed and is equality-tested
+    against this one; it also falls back here when a stream contains a
+    nested-unescaped-paren literal (which the fused loop cannot seek
+    past). Text state per the PDF spec subset documented in the module
+    docstring; only the translation components of Tm are honored (the
+    corpus and the reference never rotate/scale text)."""
     records: list[tuple[int, int, int, str]] = []
     stack: list = []
     in_array: list | None = None
@@ -346,6 +409,112 @@ def _interpret(data: bytes) -> list[tuple[int, int, int, str]]:
         elif op in (b"BT", b"ET"):
             last_pos = None
         stack = stack[-8:]  # bound operand memory; ops consume from the top
+    return records
+
+
+def _interpret(data: bytes) -> list[tuple[int, int, int, str]]:
+    """Fast fused scanner+interpreter: one ``_TOK_RE`` pass with inline
+    dispatch (no per-token generator hop or tuple). Identical output to
+    ``_interpret_via_tokens`` (equality-tested over the corpus); bails to
+    it when a nested-unescaped-paren literal appears, since the fused
+    loop cannot seek the scanner past the slow-path read."""
+    records: list[tuple[int, int, int, str]] = []
+    stack: list = []
+    in_array: list | None = None
+    line_x = line_y = 0.0
+    size = 10.0
+    leading = 0.0
+    last_pos: tuple[float, float] | None = None
+
+    def show(text_bytes: bytes) -> None:
+        nonlocal last_pos
+        t = text_bytes.decode("utf-8", errors="replace")
+        if last_pos == (line_x, line_y) and records:
+            y, x, s, prev = records[-1]
+            records[-1] = (y, x, s, prev + t)  # same point → concatenate
+        else:
+            records.append(
+                (round(PAGE_H - line_y), round(line_x), round(size), t)
+            )
+        last_pos = (line_x, line_y)
+
+    for m in _TOK_RE.finditer(data):
+        g = m.lastgroup
+        if g == "skip":
+            continue
+        if g == "num":
+            v = float(m.group())
+            (stack if in_array is None else in_array).append(("num", v))
+            continue
+        if g == "op":
+            op = m.group()
+            if op == b"Tj":
+                if stack and stack[-1][0] == "str":
+                    show(stack[-1][1])
+            elif op == b"T*":
+                line_y -= leading
+            elif op == b"Td" or op == b"TD":
+                nums = [v for k, v in stack[-2:] if k == "num"]
+                if len(nums) == 2:
+                    if op == b"TD":
+                        leading = -nums[1]
+                    line_x += nums[0]
+                    line_y += nums[1]
+            elif op == b"Tm":
+                nums = [v for k, v in stack[-6:] if k == "num"]
+                if len(nums) >= 2:
+                    line_x, line_y = nums[-2], nums[-1]
+            elif op == b"'":
+                line_y -= leading
+                if stack and stack[-1][0] == "str":
+                    show(stack[-1][1])
+            elif op == b"TJ":
+                if stack and stack[-1][0] == "array":
+                    show(b"".join(
+                        v for k, v in stack[-1][1] if k == "str"
+                    ))
+            elif op == b"Tf":
+                if stack and stack[-1][0] == "num":
+                    size = stack[-1][1]
+            elif op == b"TL":
+                if stack and stack[-1][0] == "num":
+                    leading = stack[-1][1]
+            elif op == b"BT" or op == b"ET":
+                last_pos = None
+            if len(stack) > 8:
+                del stack[:-8]  # bound operand memory
+            continue
+        if g == "lit":
+            raw = m.group()[1:-1]
+            if b"\\" in raw:
+                raw = _read_literal(b"(" + raw + b")", 0)[0]
+            (stack if in_array is None else in_array).append(("str", raw))
+            continue
+        if g == "mark":
+            if m.group() == b"[":
+                in_array = []
+            elif in_array is not None:
+                stack.append(("array", in_array))
+                in_array = None
+            continue
+        if g == "hex":
+            hx = re.sub(rb"\s", b"", m.group()[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                s = bytes.fromhex(hx.decode("ascii"))
+            except ValueError:
+                continue
+            (stack if in_array is None else in_array).append(("str", s))
+            continue
+        if g == "name":
+            stack.append(("name", m.group("name")))
+            continue
+        t = m.group()  # g == "other": hostile single byte
+        if t == b"(":
+            return _interpret_via_tokens(data)  # nested literal: rare path
+        if t == b"<" and data.find(b">", m.end()) < 0:
+            break  # unterminated hex string (reference parity)
     return records
 
 

@@ -366,3 +366,93 @@ def test_render_parse_inverse_property_many_seeds():
         raw = _render_pdf_like(rng, lines)
         assert raw.startswith(b"%PDF-") and b"%%EOF" in raw
         assert extract_pdf_like_text(raw) == "\n".join(lines), seed
+
+
+def test_fast_tokenizer_matches_reference():
+    """The compiled-scanner tokenizer must be token-for-token equal to the
+    character-walk reference over every content stream the corpus writer
+    emits, plus handcrafted edge cases."""
+    import random
+    import zlib
+
+    from ocr_sam_project_ray.functions.pdf_text import (
+        _content_refs, _page_order, _scan_objects, _stream_bytes,
+        _tokens, _tokens_reference,
+    )
+    from ocr_sam_project_ray.sources.synthetic import _render_pdf_like
+
+    def streams_of(raw):
+        objects = _scan_objects(raw)
+        import re
+        root = None
+        for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", raw):
+            root = int(m.group(1))
+        for pid in _page_order(objects, root):
+            for c in _content_refs(objects[pid]):
+                if c in objects:
+                    yield _stream_bytes(objects[c])
+
+    n_streams = 0
+    for seed in range(40):
+        rng = random.Random(f"tokeq:{seed}")
+        lines = [f"linea (con) par\\entesis {i}" for i in range(rng.randrange(1, 60))]
+        raw = _render_pdf_like(rng, lines)
+        for data in streams_of(raw):
+            assert list(_tokens(data)) == list(_tokens_reference(data))
+            n_streams += 1
+    assert n_streams > 40
+
+    cases = [
+        b"",
+        b"BT (hola) Tj ET",
+        b"(a\\(b\\)c) Tj (a(nested)b) Tj",           # nested unescaped parens
+        b"[(x) -20 (y)] TJ <48 6f 6c61> Tj",
+        b"(oct \\101\\102) Tj (tab\\t) Tj (bs\\\\) '",
+        b"1 0 0 1 50 720 Tm /F1 10 Tf 12 TL T* T*",
+        b"% comment line\n(z) Tj",
+        b"<< /X 1 >> (dict) Tj",
+        b"(unterminated",
+        b"-1.5 .5 +3. 007 Td",
+    ]
+    for data in cases:
+        assert list(_tokens(data)) == list(_tokens_reference(data)), data
+
+
+def test_fused_interpreter_matches_reference():
+    """The fused scanner+interpreter must produce record-for-record the
+    same output as the tokenizer-driven reference over corpus streams and
+    edge cases (incl. the nested-literal fallback)."""
+    import random
+    import zlib
+
+    from ocr_sam_project_ray.functions.pdf_text import (
+        _content_refs, _page_order, _scan_objects, _stream_bytes,
+        _interpret, _interpret_via_tokens,
+    )
+    from ocr_sam_project_ray.sources.synthetic import _render_pdf_like
+    import re
+
+    n = 0
+    for seed in range(30):
+        rng = random.Random(f"inteq:{seed}")
+        lines = [f"linea (x\\y) {i}" for i in range(rng.randrange(1, 50))]
+        raw = _render_pdf_like(rng, lines)
+        objects = _scan_objects(raw)
+        root = None
+        for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", raw):
+            root = int(m.group(1))
+        for pid in _page_order(objects, root):
+            for c in _content_refs(objects[pid]):
+                data = _stream_bytes(objects[c])
+                assert _interpret(data) == _interpret_via_tokens(data)
+                n += 1
+    assert n > 30
+    cases = [
+        b"BT 1 0 0 1 50 700 Tm /F1 10 Tf (a(nested)b) Tj ET",
+        b"BT 12 TL 1 0 0 1 50 700 Tm (x) Tj (y) ' [(p) -9 (q)] TJ ET",
+        b"BT <4869> Tj ET",
+        b"(unterminated",
+        b"garbage { } >> << stream endstream BT (ok) Tj ET",
+    ]
+    for data in cases:
+        assert _interpret(data) == _interpret_via_tokens(data), data
