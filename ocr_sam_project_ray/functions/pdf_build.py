@@ -116,8 +116,8 @@ def build_pdf(
         next_id[0] += 1
         return i
 
-    def stream_obj(content: str) -> int:
-        data = content.encode("utf-8")
+    def stream_obj(content) -> int:
+        data = content if isinstance(content, bytes) else content.encode("utf-8")
         filt = ""
         if compress:
             data = zlib.compress(data)
@@ -137,16 +137,22 @@ def build_pdf(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
 
+    def join_blocks(blocks) -> bytes:
+        # blocks may be operator strings (text_block) or raw stream BYTES
+        return b"\n".join(
+            b if isinstance(b, bytes) else b.encode("utf-8") for b in blocks
+        )
+
     page_ids = []
     kid_parent: dict[int, int] = {}
     for pno, blocks in enumerate(page_blocks):
         if pno in split_contents_pages and len(blocks) >= 2:
             half = len(blocks) // 2
-            c1 = stream_obj("\n".join(blocks[:half]))
-            c2 = stream_obj("\n".join(blocks[half:]))
+            c1 = stream_obj(join_blocks(blocks[:half]))
+            c2 = stream_obj(join_blocks(blocks[half:]))
             contents = f"[{c1} 0 R {c2} 0 R]"
         else:
-            cid = stream_obj("\n".join(blocks))
+            cid = stream_obj(join_blocks(blocks))
             contents = f"{cid} 0 R"
         pid = alloc()
         page_ids.append(pid)
