@@ -68,6 +68,26 @@ def cmd_resume(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Binary document split: PDF payloads → standalone per-oficio PDFs
+    written as partitioned parquet (url, part_id, part_index, n_parts,
+    n_pages, payload) — the document_processor-stage analog."""
+    _init_ray(args.num_cpus)
+    from .pipelines.extraction import read_pages
+    from .stages.pdf_split import split_pdf_documents
+
+    t0 = time.time()
+    pages = read_pages(args.sf_dir, columns=["url", "html"])
+    parts = split_pdf_documents(pages)
+    parts.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out, format="parquet").count_rows()
+    print(json.dumps({"out": args.out, "n_parts": n,
+                      "wall_time_s": round(time.time() - t0, 2)}))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Read-side status query (no Ray session needed — lineage + parquet)."""
     from .pipelines.status import run_status, shard_status, url_status
@@ -89,7 +109,8 @@ def main(argv=None) -> int:
     sp.add_argument("--shard", default=None)
     sp.add_argument("--url", default=None)
     sp.set_defaults(fn=cmd_status, num_cpus=None)
-    for name, fn in [("run", cmd_run), ("resume", cmd_resume)]:
+    for name, fn in [("run", cmd_run), ("resume", cmd_resume),
+                     ("split", cmd_split)]:
         sp = sub.add_parser(name)
         sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
         sp.add_argument("--out", required=True)
