@@ -19,6 +19,7 @@ no I/O. Behavioral parity targets in /root/reference:
 
 from __future__ import annotations
 
+import re
 from typing import Any, Optional
 
 from . import patterns as P
@@ -156,15 +157,92 @@ def validate_count(extracted: int, declared: int) -> tuple[bool, str, str]:
 # Span / entity / info extraction
 # ---------------------------------------------------------------------------
 
-def extract_spans(text: str) -> list[dict[str, Any]]:
-    """All Panamanian-pattern matches as span annotations, in fixed
-    (pattern-order, position) order. Fields mirror ocr_service.py:746-753."""
+def _extract_spans_direct(text: str) -> list[dict[str, Any]]:
     spans: list[dict[str, Any]] = []
     for field, pat in P.PANAMA_PATTERNS.items():
         for m in pat.finditer(text):
             spans.append(
                 {"field": field, "start": m.start(), "end": m.end(), "text": m.group(0)}
             )
+    return spans
+
+
+_DIGIT_RUN = re.compile(r"\d+")
+# Every PANAMA_PATTERNS match contains at least one digit, and no match
+# extends more than a few dozen chars beyond its digits (prefixes like
+# "No. " / "B/. " plus bounded whitespace).  256 gives a wide safety
+# margin, and any match that still touches a window edge triggers the
+# exact direct path.
+_SPAN_WINDOW_MARGIN = 256
+
+
+def _extend_left(text: str, a: int) -> int:
+    """Walk a window start left across long-whitespace bridges.
+
+    The only unbounded parts of PANAMA_PATTERNS are ``\\s*``/``\\s+`` runs
+    (money/oficio prefixes, date_es interiors); every other component is
+    ≤16 chars.  A match can therefore reach left of ``digit-256`` only via
+    whitespace runs, and a pattern has at most 5 such slots.  Each hop
+    skips one run (only if ≥8 chars — normal prose never has that, so the
+    loop exits immediately on real text) plus one ≤16-char token.
+    """
+    for _ in range(6):
+        j = a
+        while j > 0 and text[j - 1].isspace():
+            j -= 1
+        if a - j < 8:
+            break
+        k = j
+        while k > 0 and not text[k - 1].isspace() and j - k < 16:
+            k -= 1
+        a = k
+    return a
+
+
+def extract_spans(text: str) -> list[dict[str, Any]]:
+    """All Panamanian-pattern matches as span annotations, in fixed
+    (pattern-order, position) order. Fields mirror ocr_service.py:746-753.
+
+    Fast path: all six patterns anchor on digits, so the scan runs only
+    over merged ±256-char windows around digit runs (~8% of corpus text)
+    instead of six full passes.  Window boundaries cannot change ``\\b``
+    evaluation for matches strictly inside a window; a match touching a
+    window edge (would need >256 chars of digitless run-on) falls back to
+    the direct whole-text scan.  Output is byte-identical to the direct
+    path (equality-tested over the corpus in test_patterns).
+    """
+    n = len(text)
+    if n <= 4 * _SPAN_WINDOW_MARGIN:
+        return _extract_spans_direct(text)
+    wins: list[list[int]] = []
+    for m in _DIGIT_RUN.finditer(text):
+        a, b = m.start() - _SPAN_WINDOW_MARGIN, m.end() + _SPAN_WINDOW_MARGIN
+        if a > 0:
+            a = _extend_left(text, a)
+        if wins and a <= wins[-1][1]:
+            if b > wins[-1][1]:
+                wins[-1][1] = b
+        else:
+            wins.append([a if a > 0 else 0, b])
+    if not wins:
+        return []
+    if wins[-1][1] > n:
+        wins[-1][1] = n
+    spans: list[dict[str, Any]] = []
+    for field, pat in P.PANAMA_PATTERNS.items():
+        for a, b in wins:
+            chunk = text[a:b]
+            for m in pat.finditer(chunk):
+                if (m.start() == 0 and a > 0) or (m.end() == b - a and b < n):
+                    return _extract_spans_direct(text)
+                spans.append(
+                    {
+                        "field": field,
+                        "start": a + m.start(),
+                        "end": a + m.end(),
+                        "text": m.group(0),
+                    }
+                )
     return spans
 
 
@@ -182,9 +260,9 @@ def extract_basic_info(text: str) -> dict[str, Optional[str]]:
         if m:
             info["autoridad"] = m.group(1)
             break
-    dates = P.BASIC_DATE.findall(text)
-    if dates:
-        info["fecha_emision"] = dates[0]
+    m = P.BASIC_DATE.search(text)  # only the first match is used
+    if m:
+        info["fecha_emision"] = m.group(1)
     return info
 
 

@@ -94,3 +94,48 @@ def test_should_have_persons():
     assert P.should_have_persons("tabla de Agente Económico con filas")
     assert P.should_have_persons("8-123-456 con monto 1,500.00")
     assert not P.should_have_persons("texto sin indicadores de tabla")
+
+
+def test_extract_spans_windowed_equals_direct_corpus():
+    """The digit-window fast path in extract_spans must be byte-identical
+    to the direct six-pass scan — over real corpus segment texts plus
+    adversarial edge cases (matches at text start/end, long digitless
+    gaps, window-merge boundaries)."""
+    from ocr_sam_project_ray.functions.extract_core import (
+        _extract_spans_direct,
+        extract_spans,
+    )
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    p = ensure_corpus("/root/testdata/sf0.001")
+    golden = sorted(_glob.glob(p["golden_segments"]))
+    texts = []
+    for f in golden[:2]:
+        texts.extend(
+            x for x in pq.read_table(f, columns=["extracted_text"])[
+                "extracted_text"
+            ].to_pylist() if x
+        )
+    assert len(texts) > 100
+    pad = "texto relleno sin cifras aqui. " * 60       # >1024 chars, digitless
+    edge = [
+        "8-123-456",                                    # match == whole text
+        "B/. 1,500.00" + " x" * 600,                    # match at start
+        "y " * 600 + "12 de mayo de 2024",              # match at end
+        "1" + " z" * 300 + "2",                         # two windows merge gap
+        "texto sin digitos " * 100,                     # no windows at all
+        # long-text cases that exercise the window path (len > 1024):
+        pad + "No." + " " * 300 + "123-2024" + pad,     # ws bridge in prefix
+        pad + "B/." + " " * 400 + "1,500.00" + pad,     # ws bridge, money
+        pad + "12" + " " * 300 + "de" + " " * 300
+        + "mayo" + " " * 300 + "de" + " " * 300
+        + "2024" + pad,                                 # multi-gap date_es
+        pad + "8-123-456 " + pad + " 7-88-999" + pad,   # two far-apart windows
+        ("8-1-1 " + pad) * 3,                           # repeated window hits
+    ]
+    for t in texts + edge:
+        assert extract_spans(t) == _extract_spans_direct(t)

@@ -82,3 +82,19 @@ def _expected_nonempty(lines, expected):
     if current:
         out.extend(current)
     return out
+
+
+# Alphabet biased toward span-pattern ingredients: digits, dashes, long
+# whitespace runs, money/oficio prefixes, date keywords.
+_span_chunks = st.sampled_from(
+    ["1", "23", "4567", "-", " ", "  ", " " * 40, " " * 300, "\n", ".",
+     ",", "No.", "JE-", "DJ-", "B/.", "de", "mayo", "x", "palabra ",
+     "texto sin cifras " * 20]
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_span_chunks, min_size=1, max_size=60))
+def test_extract_spans_windowed_equals_direct_fuzz(chunks):
+    text = "".join(chunks)
+    assert core.extract_spans(text) == core._extract_spans_direct(text)
