@@ -196,7 +196,8 @@ def _fast_parse(html: str) -> list[Paragraph]:
     def flush() -> None:
         nonlocal parts, link_parts
         text = ws_sub(" ", "".join(parts)).strip()
-        link_text = ws_sub(" ", "".join(link_parts)).strip()
+        joined_link = "".join(link_parts)  # usually empty — skip the sub
+        link_text = ws_sub(" ", joined_link).strip() if joined_link else ""
         parts = []
         link_parts = []
         if text:

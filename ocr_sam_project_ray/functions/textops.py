@@ -7,12 +7,13 @@ Behavioral parity targets (cited into /root/reference; fresh code):
 - Spanish + numeric date parser: src/crm_integrator/app.py:692-742
 - monto parse (strip "B/." and ","): src/ocr_processor/app.py:487-495
 - name split, flavor A: src/ocr_processor/app.py:499-503
-  (the divergent flavor B at src/crm_integrator/app.py:390-393 is NOT
-  implemented; the engine standardizes on flavor A — see SURVEY.md §2 M16/M17)
+- name split, flavor B (surnames-last): src/crm_integrator/app.py:377-394
+- brace-scan JSON recovery from free text: src/services/mistral_service.py:241-273
 """
 
 from __future__ import annotations
 
+import json
 import re
 from datetime import datetime
 from typing import Any, Optional
@@ -162,6 +163,37 @@ def split_name(nombre_completo: str) -> dict[str, str]:
         "apellido_materno": tokens[2] if len(tokens) > 2 else "",
         "nombre_segundo": " ".join(tokens[3:]) if len(tokens) > 3 else "",
     }
+
+
+def recover_json(response: Optional[str]) -> dict[str, Any]:
+    """Brace-scan JSON recovery from free text (mistral_service.py:241-273):
+    take the substring from the first '{' to the last '}' and json-parse it;
+    a parsed dict is returned as-is.  No braces / non-dict payload → the
+    reference's "No identificado" fallback structure; a parse error → the
+    "Error de parsing" structure carrying the decoder message.  Both
+    fallbacks echo the raw text under ``raw_response``."""
+    text = response or ""
+    try:
+        start = text.find("{")
+        end = text.rfind("}") + 1
+        if start >= 0 and end > start:
+            parsed = json.loads(text[start:end])
+            if isinstance(parsed, dict):
+                return parsed
+        return {
+            "tipo_documento": "No identificado",
+            "nivel_confianza": "bajo",
+            "informacion_clave": {},
+            "raw_response": text,
+        }
+    except json.JSONDecodeError as exc:
+        return {
+            "tipo_documento": "Error de parsing",
+            "nivel_confianza": "bajo",
+            "informacion_clave": {},
+            "parsing_error": str(exc),
+            "raw_response": text,
+        }
 
 
 def split_name_b(nombre_completo: str) -> dict[str, str]:

@@ -101,3 +101,39 @@ def test_split_name_flavor_b():
         "apellido_paterno": "", "apellido_materno": "",
     }
     assert T.split_name_b("")["nombre"] == ""
+
+
+def test_recover_json_embedded_dict():
+    out = T.recover_json('Aquí está el análisis: {"tipo_documento": "escritura", "n": 3} fin.')
+    assert out == {"tipo_documento": "escritura", "n": 3}
+
+
+def test_recover_json_nested_braces_span_first_to_last():
+    # first '{' .. last '}' spans the whole nested object
+    out = T.recover_json('x {"a": {"b": 1}} y')
+    assert out == {"a": {"b": 1}}
+
+
+def test_recover_json_no_braces_fallback():
+    out = T.recover_json("plain prose, no json at all")
+    assert out["tipo_documento"] == "No identificado"
+    assert out["nivel_confianza"] == "bajo"
+    assert out["informacion_clave"] == {}
+    assert out["raw_response"] == "plain prose, no json at all"
+    assert "parsing_error" not in out
+
+
+def test_recover_json_malformed_error_structure():
+    out = T.recover_json('prefix {"a": 1,,} suffix')
+    assert out["tipo_documento"] == "Error de parsing"
+    assert out["nivel_confianza"] == "bajo"
+    assert "parsing_error" in out and out["parsing_error"]
+    assert out["raw_response"] == 'prefix {"a": 1,,} suffix'
+
+
+def test_recover_json_non_dict_payload_and_none():
+    # greedy first-to-last span may capture invalid middle text → error path,
+    # but a scalar-parsing span that is not a dict takes the fallback path
+    out = T.recover_json(None)
+    assert out["tipo_documento"] == "No identificado"
+    assert out["raw_response"] == ""
