@@ -386,10 +386,23 @@ def _q_dedup_docs_near_verified(sf_dir: str):
     return kept.select_columns(["doc_id"]).to_pandas().reset_index(drop=True)
 
 
-def _q_simhash_docs(sf_dir: str):
-    from ocr_sam_project_ray.ops.dedup_text import simhash_table
+def _q_pii_redact(sf_dir: str):
+    """PII scrubbing over the extraction output (ops/pii.py): cedula →
+    <ID>, then phone → <PHONE>, then email → <EMAIL> — sequential RE2
+    rules with per-rule counts taken on the text each rule saw. The
+    oracle replays the identical rule chain via DuckDB regexp_replace
+    (same RE2 engine) over the golden segment text."""
+    from ocr_sam_project_ray.ops.pii import redact_pii
 
-    return simhash_table(_docs(sf_dir)).to_pandas().reset_index(drop=True)
+    ds = redact_pii(_annotated(sf_dir), text_col="extracted_text")
+    df = ds.select_columns(
+        ["doc_id", "redacted_text", "n_ids", "n_phones", "n_emails", "success"]
+    ).to_pandas()
+    return (
+        df[df.success]
+        [["doc_id", "redacted_text", "n_ids", "n_phones", "n_emails"]]
+        .reset_index(drop=True)
+    )
 
 
 def _q_multimodal_meta(sf_dir: str):
@@ -622,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_verified": _q_near_dup_verified,
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_docs_near_verified": _q_dedup_docs_near_verified,
+        "pii_redact": _q_pii_redact,
         "multimodal_meta": _q_multimodal_meta,
         "knn_cosine": _q_knn_cosine,
         "cosine_near_pairs": _q_cosine_near_pairs,
@@ -646,10 +660,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-2 driver snapshot recorded exactly 50 queries and
         # silently dropped the 51st (bpe_token_count), so the contract is
         # pinned at 50 entries with every oracle-checked query first.
-        # minhash_pairs was retired from the contract (not the package) to
-        # fit: its kernel IS the first stage of the oracle-certified
-        # near_dup_verified chain and its recall stays pytest-tested.
-        "simhash_docs": _q_simhash_docs,          # rows-only
+        # minhash_pairs and simhash_docs were retired from the contract
+        # (not the package) to fit: the minhash kernel IS the first stage
+        # of the oracle-certified near_dup_verified chain, simhash keeps
+        # its Hamming-pigeonhole pytest guarantee, and both recalls stay
+        # pytest-tested. Their slots went to oracle-checked queries
+        # (bpe_token_count, pii_redact).
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
         "approx_distinct_users": _q_approx_distinct_users,  # rows-only (sketch)
     }
@@ -662,8 +678,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_sam_project_ray.ops.pii import sql_rules
     from ocr_sam_project_ray.sources.synthetic import ensure_corpus
 
+    _pii_expr, _pii_counts = sql_rules("extracted_text")
     p = ensure_corpus("/root/testdata/sf0.01")
     gp = p["golden_pages"]
     gs = p["golden_segments"]
@@ -682,6 +700,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_segments": f"""
             SELECT doc_id, url, seg_index, n_segments, extracted_text
+            FROM read_parquet('{gs}')
+        """,
+        "pii_redact": f"""
+            SELECT doc_id, {_pii_expr} AS redacted_text,
+                   {_pii_counts['n_ids']} AS n_ids,
+                   {_pii_counts['n_phones']} AS n_phones,
+                   {_pii_counts['n_emails']} AS n_emails
             FROM read_parquet('{gs}')
         """,
         "extract_classify": f"""
