@@ -9,6 +9,7 @@ Behavioral parity targets (cited into /root/reference; fresh code):
 - name split, flavor A: src/ocr_processor/app.py:499-503
 - name split, flavor B (surnames-last): src/crm_integrator/app.py:377-394
 - brace-scan JSON recovery from free text: src/services/mistral_service.py:241-273
+- tolerant maybe-string-maybe-dict coerce: src/ocr_processor/app.py:346-357
 """
 
 from __future__ import annotations
@@ -194,6 +195,25 @@ def recover_json(response: Optional[str]) -> dict[str, Any]:
             "parsing_error": str(exc),
             "raw_response": text,
         }
+
+
+def coerce_structured(value: Any) -> dict[str, Any]:
+    """Tolerant maybe-string-maybe-dict coerce (ocr_processor/app.py:346-357):
+    a JSON-parsable string → its dict; an unparsable string → wrapped as
+    ``{"texto_completo": s}``; a dict → as-is; anything else stringified
+    into the same wrapper.  A string that parses to a non-dict JSON value
+    (e.g. a list) also takes the wrapper, keeping the return type stable."""
+    if isinstance(value, dict):
+        return value
+    if isinstance(value, str):
+        try:
+            parsed = json.loads(value)
+            if isinstance(parsed, dict):
+                return parsed
+        except json.JSONDecodeError:
+            pass
+        return {"texto_completo": value}
+    return {"texto_completo": str(value)}
 
 
 def split_name_b(nombre_completo: str) -> dict[str, str]:

@@ -137,3 +137,13 @@ def test_recover_json_non_dict_payload_and_none():
     out = T.recover_json(None)
     assert out["tipo_documento"] == "No identificado"
     assert out["raw_response"] == ""
+
+
+def test_coerce_structured():
+    assert T.coerce_structured({"a": 1}) == {"a": 1}
+    assert T.coerce_structured('{"a": 1}') == {"a": 1}
+    assert T.coerce_structured("not json") == {"texto_completo": "not json"}
+    # non-dict JSON payloads keep the stable dict return type
+    assert T.coerce_structured("[1, 2]") == {"texto_completo": "[1, 2]"}
+    assert T.coerce_structured(42) == {"texto_completo": "42"}
+    assert T.coerce_structured(None) == {"texto_completo": "None"}
