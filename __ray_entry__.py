@@ -603,6 +603,19 @@ def _q_bpe_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(f, batch_format="pyarrow").to_pandas().reset_index(drop=True)
 
 
+def _q_quality_gopher(sf_dir: str):
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.ops.quality import score_quality
+
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return score_quality(ds).to_pandas().reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (synthetic page corpus; oracles = golden parquet)
@@ -656,16 +669,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": _q_sample_docs,
         "suppliers_by_region": _q_suppliers_by_region,
         "events_json_k": _q_events_json_k,
+        "quality_gopher": _q_quality_gopher,
         # --- no-oracle (approximate / not SQL-expressible) entries LAST:
         # the round-2 driver snapshot recorded exactly 50 queries and
-        # silently dropped the 51st (bpe_token_count), so the contract is
-        # pinned at 50 entries with every oracle-checked query first.
-        # minhash_pairs and simhash_docs were retired from the contract
-        # (not the package) to fit: the minhash kernel IS the first stage
-        # of the oracle-certified near_dup_verified chain, simhash keeps
-        # its Hamming-pigeonhole pytest guarantee, and both recalls stay
-        # pytest-tested. Their slots went to oracle-checked queries
-        # (bpe_token_count, pii_redact).
+        # silently dropped the 51st, so every oracle-checked query sits
+        # first. This registry now has 51 entries (quality_gopher is new,
+        # round 3): if the driver still caps at 50, the sacrificed entry is
+        # approx_distinct_users — deliberately the LAST row, a rows-only
+        # sketch whose HLL accuracy + merge algebra stay pytest-tested
+        # (test_sketch). minhash_pairs and simhash_docs were retired from
+        # the contract (not the package) in round 2: the minhash kernel IS
+        # the first stage of the oracle-certified near_dup_verified chain,
+        # simhash keeps its Hamming-pigeonhole pytest guarantee, and both
+        # recalls stay pytest-tested.
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
         "approx_distinct_users": _q_approx_distinct_users,  # rows-only (sketch)
     }
@@ -1072,7 +1088,14 @@ def _ops_oracles() -> dict[str, str]:
         "suppliers_by_region": R.SQL_SUPPLIERS_BY_REGION,
         "events_json_k": R.SQL_EVENTS_JSON_K,
         "bpe_token_count": _bpe_oracle(),
+        "quality_gopher": _quality_oracle(),
     }
+
+
+def _quality_oracle() -> str:
+    from ocr_sam_project_ray.ops.quality import sql_quality_gopher
+
+    return sql_quality_gopher()
 
 
 def _cluster_ctes(grams: str) -> str:
