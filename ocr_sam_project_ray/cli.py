@@ -88,6 +88,36 @@ def cmd_split(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-corpus curation chain over a documents table: quality
+    filter → exact dedup → near-dup cluster dedup → optional benchmark
+    decontamination → partitioned parquet + per-stage row accounting."""
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .context import configure_data_context
+    from .pipelines.curate import curate_corpus
+
+    configure_data_context()  # BEFORE read_parquet: the Dataset captures it
+    bench = None
+    if args.bench_file:
+        with open(args.bench_file) as f:
+            bench = [ln.rstrip("\n") for ln in f if ln.strip()]
+    t0 = time.time()
+    ds = ray.data.read_parquet(
+        os.path.join(args.sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    metrics = curate_corpus(
+        ds, args.out, bench_texts=bench,
+        near_threshold=args.near_threshold,
+        num_partitions=args.partitions,
+    )
+    metrics["wall_time_s"] = round(time.time() - t0, 2)
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Read-side status query (no Ray session needed — lineage + parquet)."""
     from .pipelines.status import run_status, shard_status, url_status
@@ -110,7 +140,7 @@ def main(argv=None) -> int:
     sp.add_argument("--url", default=None)
     sp.set_defaults(fn=cmd_status, num_cpus=None)
     for name, fn in [("run", cmd_run), ("resume", cmd_resume),
-                     ("split", cmd_split)]:
+                     ("split", cmd_split), ("curate", cmd_curate)]:
         sp = sub.add_parser(name)
         sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
         sp.add_argument("--out", required=True)
@@ -118,6 +148,9 @@ def main(argv=None) -> int:
         sp.add_argument("--partitions", type=int, default=16)
         if name == "resume":
             sp.add_argument("--shards", type=int, default=8)
+        if name == "curate":
+            sp.add_argument("--bench-file", default=None)
+            sp.add_argument("--near-threshold", type=float, default=0.7)
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -1,0 +1,72 @@
+"""Curation pipeline: stage composition, per-stage accounting, output."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from ocr_sam_project_ray.pipelines.curate import curate_corpus
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then runs far away "
+    "into the green forest where it finds a quiet stream and drinks "
+    "slowly before the long night settles in and every sound fades out "
+    "under a pale moon that hangs low over the silent trees tonight"
+)
+GOOD2 = (
+    "a calm morning rises over the wide valley and the first light "
+    "touches every roof while the small town wakes slowly to the sound "
+    "of bells and the market fills with voices that carry far along "
+    "the narrow streets until the whole place hums with an easy life "
+    "that lasts well into the warm evening hours"
+)
+GOOD3 = (
+    "deep beneath the old library a forgotten archive keeps a record of "
+    "every ship that ever left the harbor and the clerks who wrote the "
+    "ledgers by hand would be amazed that anyone still reads the pages "
+    "they filled so carefully during the long winters of that century"
+)
+BENCH = "what is the capital of atlantis and why did it sink below"
+
+
+def _corpus():
+    rows = {
+        0: GOOD,                                  # clean survivor
+        1: GOOD,                                  # exact dup of 0 → dropped
+        2: GOOD + " tail",                        # near dup of 0 → dropped
+        3: GOOD2,                                 # clean survivor
+        4: "too short",                           # fails quality → dropped
+        5: GOOD3 + " " + BENCH + " and the question stays open",
+        # ^ contaminated (carries a benchmark 8-gram) → dropped last
+    }
+    return ray.data.from_arrow(
+        pa.table({"doc_id": list(rows), "text": list(rows.values())})
+    )
+
+
+def test_curate_end_to_end(tmp_path):
+    out = str(tmp_path / "curated")
+    m = curate_corpus(
+        _corpus(), out, bench_texts=[BENCH], near_threshold=0.7,
+        num_partitions=2,
+    )
+    assert m["rows_in"] == 6
+    assert m["after_quality"] == 5          # doc 4 out
+    assert m["after_exact_dedup"] == 4      # doc 1 out
+    assert m["after_near_dedup"] == 3       # doc 2 out
+    assert m["after_decontam"] == 2         # doc 5 out
+    assert m["rows_out"] == 2
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    got = pq.read_table(out).to_pydict()
+    assert sorted(got["doc_id"]) == [0, 3]
+
+
+def test_curate_without_bench(tmp_path):
+    m = curate_corpus(_corpus(), None, near_threshold=0.7, num_partitions=2)
+    assert "after_decontam" not in m
+    assert m["rows_out"] == m["after_near_dedup"] == 3
+    assert m["lsh_skews"]["skipped_buckets"] == 0
