@@ -616,6 +616,31 @@ def _q_quality_gopher(sf_dir: str):
     return score_quality(ds).to_pandas().reset_index(drop=True)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.ops.incremental import dedup_against_snapshot
+
+    configure_data_context()
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def snap_filter(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    snapshot = docs.map_batches(snap_filter, batch_format="pyarrow")
+    out = dedup_against_snapshot(docs, snapshot, num_partitions=4)
+    return (
+        out.select_columns(["doc_id"]).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (synthetic page corpus; oracles = golden parquet)
@@ -670,14 +695,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_by_region": _q_suppliers_by_region,
         "events_json_k": _q_events_json_k,
         "quality_gopher": _q_quality_gopher,
+        "dedup_incremental": _q_dedup_incremental,
         # --- no-oracle (approximate / not SQL-expressible) entries LAST:
         # the round-2 driver snapshot recorded exactly 50 queries and
         # silently dropped the 51st, so every oracle-checked query sits
-        # first. This registry now has 51 entries (quality_gopher is new,
-        # round 3): if the driver still caps at 50, the sacrificed entry is
-        # approx_distinct_users — deliberately the LAST row, a rows-only
-        # sketch whose HLL accuracy + merge algebra stay pytest-tested
-        # (test_sketch). minhash_pairs and simhash_docs were retired from
+        # first. This registry now has 52 entries (quality_gopher and
+        # dedup_incremental are new, round 3): if the driver still caps at
+        # 50, the sacrificed entries are the two rows-only ones —
+        # deliberately the LAST rows, whose guarantees stay pytest-tested
+        # (knn_ivf recall ≥0.75 in test_ops_embed, HLL accuracy + merge
+        # algebra in test_ops_sketch). minhash_pairs and simhash_docs were retired from
         # the contract (not the package) in round 2: the minhash kernel IS
         # the first stage of the oracle-certified near_dup_verified chain,
         # simhash keeps its Hamming-pigeonhole pytest guarantee, and both
@@ -1089,6 +1116,12 @@ def _ops_oracles() -> dict[str, str]:
         "events_json_k": R.SQL_EVENTS_JSON_K,
         "bpe_token_count": _bpe_oracle(),
         "quality_gopher": _quality_oracle(),
+        "dedup_incremental": """
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM documents s
+                              WHERE s.doc_id % 3 = 0 AND s.text = d.text)
+            ORDER BY d.doc_id
+        """,
     }
 
 

@@ -135,6 +135,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     dedup_near_minhash(docs, threshold=0.7, num_partitions=8).count()
     queries["near_dedup_docs"] = round(time.time() - t0, 3)
 
+    # full curation chain (quality → exact dedup → near-dup → counts)
+    from ocr_sam_project_ray.pipelines.curate import curate_corpus
+
+    docs_qt = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.time()
+    curate_corpus(docs_qt, None, num_partitions=8)
+    queries["curate_docs"] = round(time.time() - t0, 3)
+
     # persons projection + batch rollup on top of a cached annotated dataset
     annotated = run_extraction(sf_dir, cfg).materialize()
     t0 = time.time()
