@@ -154,6 +154,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     batch_rollup(annotated).count()
     queries["batch_rollup"] = round(time.time() - t0, 3)
 
+    # C4-style corpus-global line dedup over the extraction output (the
+    # post-extraction boilerplate strip: winners shuffle + broadcast apply)
+    from ocr_sam_project_ray.ops.line_dedup import line_dedup
+
+    seg_text = annotated.map_batches(
+        lambda b: b.filter(b["success"]).select(["doc_id", "extracted_text"]),
+        batch_format="pyarrow",
+    )
+    t0 = time.time()
+    line_dedup(
+        seg_text, id_col="doc_id", text_col="extracted_text",
+        num_partitions=cfg.dedup_partitions,
+    ).count()
+    queries["line_dedup_extracted"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),

@@ -1,0 +1,284 @@
+"""n-gram language-model familiarity scoring — the CCNet/DCLM model-based
+quality-filter shape (Wenzek et al. 2020 "CCNet"; Li et al. 2024 "DCLM"):
+train a count model on a reference corpus, broadcast it, and score every
+document by how familiar its n-grams are. CCNet uses a KenLM 5-gram and
+float perplexity; this engine keeps the same two-phase train→broadcast→
+score topology but an INTEGER contract (the engine-wide float-parity rule,
+cf. ops/quality.py): per doc,
+
+- n_grams  = token-trigram occurrences (with multiplicity),
+- n_hits   = occurrences whose gram is IN the model,
+- hit_sum  = sum over occurrences of the model's corpus count for the gram
+
+so the DuckDB oracle recomputes everything exactly (consumers derive the
+float score, e.g. hit_sum/n_grams, downstream). Token model = the engine-
+wide contract (ops/textstats.tokenize); gram = three tokens joined by one
+space (a plain string, so the SQL oracle builds the identical key).
+
+Scale shape:
+- TRAIN: per-batch ``Counter`` combiner (repeated boilerplate grams
+  collapse before the shuffle) → one hash shuffle on the gram key →
+  vectorized count sum → ``count >= min_count`` prune. min_count pruning
+  is the standard LM-table bound: the surviving model is sized by the
+  corpus's REPEATED phrase mass, not its length.
+- SCORE, broadcast plan (model rows <= ``broadcast_max_grams``): the
+  pruned model dict is ``ray.put`` once; every batch scores locally —
+  zero shuffle, the default for any realistically pruned model.
+- SCORE, distributed plan (above the bound): doc grams and model rows are
+  tag-unioned and co-partitioned on the gram key (partition-local lookup,
+  no Dataset.join — the Ray 2.49 empty-block trap, cf. ops/graph.py),
+  partial per-doc sums then one keyed repartition on the doc id folds the
+  per-doc base row (n_grams, 0, 0) with the per-partition hit rows.
+
+Training on one dataset and scoring another (the real CCNet deployment:
+train on Wikipedia, score Common Crawl) is the ``model_ds`` parameter of
+``score_trigram_model``; the self-familiarity convenience wrapper
+(``trigram_familiarity``) trains and scores the same corpus, which is what
+the SQL oracle recomputes end to end.
+
+The reference has no corpus-level modeling at all (one document per
+Lambda); this op is part of the engine's beyond-reference training-data
+surface.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from ..context import configure_data_context
+from .textstats import tokenize
+
+MIN_COUNT = 3
+# same bound family as line_dedup.BROADCAST_MAX_LINES / stages/dedup.py
+BROADCAST_MAX_GRAMS = 5_000_000
+
+
+def doc_trigrams(text: str | None) -> list[str]:
+    """Token trigrams WITH multiplicity, each 'w1 w2 w3' (< 3 tokens → [])."""
+    toks = tokenize(text)
+    return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+
+
+def train_trigram_model(
+    ds: Dataset, text_col: str = "text", min_count: int = MIN_COUNT,
+    num_partitions: int = 8,
+) -> Dataset:
+    """(gram, c): corpus occurrence count per distinct trigram, pruned to
+    c >= min_count — combiner → one gram-key shuffle → sum → prune."""
+    configure_data_context()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in batch[text_col].to_pylist():
+            counts.update(doc_trigrams(text))
+        grams = list(counts.keys())
+        return pa.table(
+            {
+                "gram": pa.array(grams, pa.string()),
+                "c": pa.array([counts[g] for g in grams], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    model = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gram", num_partitions=num_partitions)
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    return model.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], min_count)),
+        batch_format="pyarrow",
+    )
+
+
+# per-worker-process cache of the deserialized model dict (not zero-copy)
+_MODEL_CACHE: dict[Any, dict] = {}
+
+
+def _score_broadcast(ds: Dataset, model_ref, id_col: str, text_col: str) -> Dataset:
+    def score(batch: pa.Table) -> pa.Table:
+        model = _MODEL_CACHE.get(model_ref.hex())
+        if model is None:
+            model = ray.get(model_ref)
+            _MODEL_CACHE.clear()
+            _MODEL_CACHE[model_ref.hex()] = model
+        n_grams, n_hits, hit_sum = [], [], []
+        for text in batch[text_col].to_pylist():
+            grams = doc_trigrams(text)
+            h = s = 0
+            for g in grams:
+                c = model.get(g)
+                if c is not None:
+                    h += 1
+                    s += c
+            n_grams.append(len(grams))
+            n_hits.append(h)
+            hit_sum.append(s)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "hit_sum": pa.array(hit_sum, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _score_distributed(
+    ds: Dataset, model: Dataset, id_col: str, text_col: str, num_partitions: int,
+) -> Dataset:
+    """Any-scale score: (doc, gram, mult) partials and model rows are
+    co-partitioned on the gram key, hit sums fold partition-locally, then
+    one doc-key repartition merges them with the per-doc base rows."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        id_type = batch.schema.field(id_col).type
+        o_id, o_gram, o_mult = [], [], []
+        base_n = []
+        for did, text in zip(ids, batch[text_col].to_pylist()):
+            grams = Counter(doc_trigrams(text))
+            base_n.append(sum(grams.values()))
+            for g, m in grams.items():
+                o_id.append(did)
+                o_gram.append(g)
+                o_mult.append(m)
+        # side 0 = per-(doc, gram) multiplicities; side 2 = per-doc base
+        # rows (n_grams totals). Base rows ride the same union under a
+        # per-doc routing key ('\\x00'+id — the gram column is ONLY a
+        # shuffle key for them, side disambiguates roles) so they spread
+        # evenly instead of piling one hot partition.
+        return pa.table(
+            {
+                "doc": pa.array(o_id + ids, id_type),
+                "gram": pa.array(o_gram + [f"\x00{d}" for d in ids], pa.string()),
+                "v": pa.array(o_mult + base_n, pa.int64()),
+                "side": pa.array([0] * len(o_id) + [2] * len(ids), pa.int8()),
+            }
+        )
+
+    occ = ds.map_batches(explode, batch_format="pyarrow")
+    sch = occ.schema()
+    id_type = dict(zip(sch.names, sch.types))["doc"]
+
+    def tag_model(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc": pa.nulls(batch.num_rows, id_type),
+                "gram": batch["gram"],
+                "v": batch["c"],
+                "side": pa.array([1] * batch.num_rows, pa.int8()),
+            }
+        )
+
+    tagged = occ.union(model.map_batches(tag_model, batch_format="pyarrow"))
+    by_gram = tagged.repartition(num_blocks=num_partitions, keys=["gram"])
+
+    def fold_gram(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        side = batch["side"]
+        model_tbl = batch.filter(pc.equal(side, 1))
+        occ_tbl = batch.filter(pc.equal(side, 0))
+        base = batch.filter(pc.equal(side, 2))
+        # vectorized model lookup: occurrence gram → model row index
+        pos = pc.index_in(occ_tbl["gram"], model_tbl["gram"].combine_chunks())
+        hit_mask = pc.is_valid(pos)
+        hits = occ_tbl.filter(hit_mask)
+        c = pc.take(model_tbl["v"], pos.filter(hit_mask))
+        mult = hits["v"]
+        return pa.table(
+            {
+                "doc": pa.concat_arrays(
+                    [hits["doc"].combine_chunks(), base["doc"].combine_chunks()]
+                ),
+                "n_grams": pa.concat_arrays(
+                    [pa.nulls(hits.num_rows, pa.int64()).fill_null(0),
+                     base["v"].combine_chunks()]
+                ),
+                "n_hits": pa.concat_arrays(
+                    [mult.combine_chunks(),
+                     pa.nulls(base.num_rows, pa.int64()).fill_null(0)]
+                ),
+                "hit_sum": pa.concat_arrays(
+                    [pc.multiply_checked(mult, c).combine_chunks(),
+                     pa.nulls(base.num_rows, pa.int64()).fill_null(0)]
+                ),
+            }
+        )
+
+    folded = by_gram.map_batches(fold_gram, batch_format="pyarrow",
+                                 batch_size=None)
+    by_doc = folded.repartition(num_blocks=num_partitions, keys=["doc"])
+
+    def fold_doc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        agg = batch.group_by("doc").aggregate(
+            [("n_grams", "sum"), ("n_hits", "sum"), ("hit_sum", "sum")]
+        )
+        return pa.table(
+            {
+                id_col: agg["doc"],
+                "n_grams": agg["n_grams_sum"],
+                "n_hits": agg["n_hits_sum"],
+                "hit_sum": agg["hit_sum_sum"],
+            }
+        )
+
+    return by_doc.map_batches(fold_doc, batch_format="pyarrow", batch_size=None)
+
+
+def score_trigram_model(
+    ds: Dataset,
+    model_ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+    broadcast_max_grams: int = BROADCAST_MAX_GRAMS,
+    plan: str = "auto",
+) -> Dataset:
+    """Score ``ds`` against a trained (gram, c) model → Dataset(id_col,
+    n_grams, n_hits, hit_sum). ``plan``: 'auto' | 'broadcast' |
+    'distributed' (tests exercise both)."""
+    configure_data_context()
+    if plan not in ("auto", "broadcast", "distributed"):
+        raise ValueError(f"unknown plan {plan!r}")
+    model_ds = model_ds.materialize()
+    use_broadcast = plan == "broadcast" or (
+        plan == "auto" and model_ds.count() <= broadcast_max_grams
+    )
+    if use_broadcast:
+        # bounded by contract: pruned model rows <= broadcast_max_grams
+        tbls = [pa.table(b) for b in model_ds.iter_batches(batch_format="pyarrow")]
+        model = {}
+        for t in tbls:
+            model.update(zip(t["gram"].to_pylist(), t["c"].to_pylist()))
+        return _score_broadcast(ds, ray.put(model), id_col, text_col)
+    return _score_distributed(ds, model_ds, id_col, text_col, num_partitions)
+
+
+def trigram_familiarity(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = MIN_COUNT,
+    num_partitions: int = 8,
+    plan: str = "auto",
+) -> Dataset:
+    """Self-familiarity: train on the corpus, score the same corpus — the
+    SQL-oracle-certified composition. Real deployments pass a separate
+    high-quality reference corpus to train_trigram_model instead."""
+    model = train_trigram_model(ds, text_col, min_count, num_partitions)
+    return score_trigram_model(ds, model, id_col, text_col, num_partitions,
+                               plan=plan)
