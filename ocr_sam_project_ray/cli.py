@@ -112,6 +112,7 @@ def cmd_curate(args) -> int:
         ds, args.out, bench_texts=bench,
         near_threshold=args.near_threshold,
         num_partitions=args.partitions,
+        line_dedup=args.line_dedup,
     )
     metrics["wall_time_s"] = round(time.time() - t0, 2)
     print(json.dumps(metrics))
@@ -151,6 +152,8 @@ def main(argv=None) -> int:
         if name == "curate":
             sp.add_argument("--bench-file", default=None)
             sp.add_argument("--near-threshold", type=float, default=0.7)
+            sp.add_argument("--line-dedup", action="store_true",
+                            help="add the C4 corpus-global line strip")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     rc = args.fn(args)

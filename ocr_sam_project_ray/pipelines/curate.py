@@ -83,11 +83,15 @@ def curate_corpus(
     num_partitions: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    line_dedup: bool = False,
 ) -> dict:
     """Run the full curation chain; write partitioned parquet to ``out_dir``
     (or leave unwritten if None) and return per-stage metrics:
     rows_in / after_quality / after_exact_dedup / after_near_dedup /
-    after_decontam / rows_out plus the LSH hot-bucket skip counters."""
+    [after_line_dedup] / after_decontam / rows_out plus the LSH hot-bucket
+    skip counters. ``line_dedup=True`` adds the C4 corpus-global line strip
+    after near-dedup (rewrites ``text_col``; docs left with zero lines are
+    dropped, C4-style)."""
     configure_data_context()
     counter = StageCounts.remote()
     lsh_stats = LshDropStats.remote()
@@ -110,6 +114,25 @@ def curate_corpus(
                            drop_stats=lsh_stats),
         "after_near_dedup", counter,
     )
+    if line_dedup:
+        from ..ops.line_dedup import line_dedup as _line_dedup
+        import pyarrow.compute as pc
+
+        # line_dedup consumes its input twice (winner resolve + apply);
+        # checkpoint the near-dedup survivors once so the prefix is not
+        # recomputed and the tap above still sees each row exactly once
+        cur = cur.materialize()
+        ld = _line_dedup(cur, id_col=id_col, text_col=text_col,
+                         num_partitions=num_partitions)
+
+        def strip(batch: pa.Table) -> pa.Table:
+            kept = batch.filter(pc.greater(batch["n_lines_kept"], 0))
+            return pa.table({id_col: kept[id_col],
+                             text_col: kept["text_deduped"]})
+
+        cur = _tap(ld.map_batches(strip, batch_format="pyarrow"),
+                   "after_line_dedup", counter)
+
     if bench_texts is not None:
         cur = _tap(
             drop_contaminated(cur, list(bench_texts), text_col=text_col),
@@ -124,7 +147,8 @@ def curate_corpus(
     counts = _settled_counts(counter)
     counts.setdefault("rows_in", 0)
     counts["rows_out"] = counts.get(
-        "after_decontam", counts.get("after_near_dedup", 0)
+        "after_decontam",
+        counts.get("after_line_dedup", counts.get("after_near_dedup", 0)),
     )
     counts["lsh_skews"] = ray.get(lsh_stats.get.remote())
     return counts

@@ -70,3 +70,29 @@ def test_curate_without_bench(tmp_path):
     assert "after_decontam" not in m
     assert m["rows_out"] == m["after_near_dedup"] == 3
     assert m["lsh_skews"]["skipped_buckets"] == 0
+
+
+def test_curate_with_line_dedup(tmp_path):
+    """The C4 line strip after near-dedup: the shared footer line survives
+    only in its first (doc_id, idx) home; a doc that is pure boilerplate
+    is dropped entirely."""
+    footer = "subscribe to our newsletter for more updates"
+    rows = {
+        0: GOOD + "\n" + footer,        # keeps its text + wins the footer
+        3: GOOD2 + "\n" + footer,       # loses the footer line
+        6: GOOD3 + "\n" + footer,       # loses the footer line
+        7: footer,                      # fails quality first (too short)
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(rows), "text": list(rows.values())})
+    )
+    out = str(tmp_path / "curated_ld")
+    m = curate_corpus(ds, out, near_threshold=0.7, num_partitions=2,
+                      line_dedup=True)
+    assert m["after_quality"] == 3
+    assert m["after_line_dedup"] == 3 == m["rows_out"]
+    got = pq.read_table(out).to_pydict()
+    texts = dict(zip(got["doc_id"], got["text"]))
+    assert texts[0] == GOOD + "\n" + footer
+    assert texts[3] == GOOD2
+    assert texts[6] == GOOD3
