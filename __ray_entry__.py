@@ -635,6 +635,49 @@ def _q_trigram_lm_score(sf_dir: str):
     )
 
 
+MIXTURE_BUDGETS = {f"src{i}": 1500 + 500 * (i % 3) for i in range(20)}
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Token-budget mixture sampling (ops/mixture.py) — per-source token
+    budgets consumed in deterministic md5(text) order (the Pile/DoReMi
+    data-mixing shape). Distributed prefix-sum partitioned by source; the
+    oracle recomputes selection with a SQL window cumsum + budget join."""
+    from ocr_sam_project_ray.ops.mixture import mixture_sample
+
+    return (
+        mixture_sample(_docs(sf_dir), MIXTURE_BUDGETS, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_dup_span_stats(sf_dir: str):
+    """Cross-document duplicate-SPAN accounting (ops/span_dedup.py) — the
+    ExactSubstr shape (Lee et al. 2022): token k-grams occurring in >= 2
+    distinct docs, per-doc occurrence counts and interval-union coverage.
+    Distributed dup-gram resolve (combiner → hash shuffle) + broadcast or
+    tag-union apply; the oracle recomputes over gram TEXT, so parity also
+    certifies hash-collision-freeness on the corpus."""
+    from ocr_sam_project_ray.ops.span_dedup import dup_span_stats
+
+    return (
+        dup_span_stats(_docs(sf_dir), num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_strip_dup_spans(sf_dir: str):
+    """ExactSubstr removal (ops/span_dedup.py) — strips every token span
+    covered by a cross-document duplicate k-gram; output is the
+    token-stream-normalized remainder per doc."""
+    from ocr_sam_project_ray.ops.span_dedup import strip_dup_spans
+
+    return (
+        strip_dup_spans(_docs(sf_dir), num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_quality_gopher(sf_dir: str):
     import ray.data
 
@@ -748,6 +791,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   kernel IS the first stage of the oracle-certified
         #   near_dup_verified chain, simhash keeps its Hamming-pigeonhole
         #   pytest guarantee, and both recalls stay pytest-tested.
+        # * mixture_sample: added in round 3 BELOW the 50-snapshot line
+        #   (no further head swaps); oracle-checked by tools/check_oracle.py
+        #   and pytest (test_mixture), like the retired entries below.
+        "mixture_sample": _q_mixture_sample,
+        # * dup_span_stats / strip_dup_spans: round-3 ExactSubstr span
+        #   dedup (ops/span_dedup.py), same placement rationale as
+        #   mixture_sample; both have full DuckDB oracles below and are
+        #   pytest-certified (test_span_dedup, plan-equivalence included).
+        "dup_span_stats": _q_dup_span_stats,
+        "strip_dup_spans": _q_strip_dup_spans,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -1179,6 +1232,9 @@ def _ops_oracles() -> dict[str, str]:
         "events_json_k": R.SQL_EVENTS_JSON_K,
         "bpe_token_count": _bpe_oracle(),
         "quality_gopher": _quality_oracle(),
+        "mixture_sample": _mixture_oracle(),
+        "dup_span_stats": _span_oracle(False),
+        "strip_dup_spans": _span_oracle(True),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -1215,6 +1271,21 @@ def _ops_oracles() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
     }
+
+
+def _span_oracle(strip: bool) -> str:
+    from ocr_sam_project_ray.ops.span_dedup import (
+        sql_dup_span_stats,
+        sql_strip_dup_spans,
+    )
+
+    return sql_strip_dup_spans() if strip else sql_dup_span_stats()
+
+
+def _mixture_oracle() -> str:
+    from ocr_sam_project_ray.ops.mixture import sql_mixture_sample
+
+    return sql_mixture_sample(MIXTURE_BUDGETS)
 
 
 def _quality_oracle() -> str:

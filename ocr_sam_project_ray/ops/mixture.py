@@ -1,0 +1,155 @@
+"""Token-budget mixture sampling — the data-mixing step that assembles a
+pretraining corpus from per-domain token budgets (the mixture-weights
+machinery behind Pile/DoReMi-style recipes: "x billion tokens of web, y of
+code, z of books"). Given per-source token budgets, admit documents in a
+DETERMINISTIC content-hash order (reproducible across engines, runs and
+partitionings — the same trick as textstats.sample_by_content_hash) until
+each source's budget is exhausted.
+
+Contract (what the SQL oracle recomputes): per source, order docs by
+(md5(text), doc_id); keep a doc iff its INCLUSIVE running token total is
+<= the source's budget; emit (doc_id, source, n_tokens, cum_tokens).
+Token model = the engine-wide contract (textstats.tokenize). All integer.
+
+Scale shape — the distributed prefix-sum pattern (cf. corpus_stats.
+pack_documents), partitioned by source:
+  1. one keyed pass computes (source, bucket = first md5 byte, n_tokens);
+  2. one SMALL groupby yields per-(source, bucket) token totals; the
+     driver folds them into exclusive offsets (bounded state:
+     n_sources x 256 rows) and broadcasts the dict once;
+  3. groupby((source, bucket)).map_groups sorts each bucket by (hash, id),
+     adds the bucket offset to a local inclusive cumsum, and keeps rows
+     within budget. Buckets whose offset already exceeds their source's
+     budget emit nothing (and a real deployment can prune them before the
+     shuffle — the offsets are on the driver).
+Partitioning assumption (documented, as for pack_documents /
+sessionization): one (source, bucket) cell fits one group — cells are
+1/256 of one source; widen to two hash bytes for larger corpora.
+
+The reference has no sampling or corpus-assembly stage (SURVEY §2.6);
+this op is part of the engine's beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Mapping
+
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..context import configure_data_context
+from .textstats import tokenize
+
+
+def mixture_sample(
+    ds: Dataset,
+    budgets: Mapping[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    num_partitions: int = 4,
+) -> Dataset:
+    """Select docs per source up to its token budget, in deterministic
+    content-hash order → Dataset(id_col, source, n_tokens, cum_tokens).
+    Sources absent from ``budgets`` are excluded entirely."""
+    configure_data_context()
+    budgets = dict(budgets)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        hs = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "source": batch[source_col],
+                "h": pa.array(hs, pa.string()),
+                "bucket": pa.array([int(h[:2], 16) for h in hs], pa.int64()),
+                "n_tokens": pa.array(
+                    [len(tokenize(t)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    # materialize once: the totals pass and the select pass both consume it
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        keyed_ds.groupby(["source", "bucket"], num_partitions=2)
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()  # bounded: n_sources x 256 rows
+        .sort_values(["source", "bucket"])
+    )
+    offsets: dict[tuple[str, int], int] = {}
+    run_by_source: dict[str, int] = {}
+    for _, row in totals.iterrows():
+        src = row.source
+        offsets[(src, int(row.bucket))] = run_by_source.get(src, 0)
+        run_by_source[src] = run_by_source.get(src, 0) + int(row.total)
+    offsets_ref = ray.put(offsets)
+    budgets_ref = ray.put(budgets)
+
+    def select_group(g):
+        import pandas as pd
+
+        src = g["source"].iloc[0]
+        budget = ray.get(budgets_ref).get(src)
+        if budget is None:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=g[id_col].dtype),
+                 "source": pd.Series([], dtype=object),
+                 "n_tokens": pd.Series([], dtype="int64"),
+                 "cum_tokens": pd.Series([], dtype="int64")}
+            )
+        off = ray.get(offsets_ref)[(src, int(g["bucket"].iloc[0]))]
+        g = g.sort_values(["h", id_col], kind="mergesort")
+        cum = g["n_tokens"].cumsum() + off  # inclusive running total
+        kept = g[cum <= budget]
+        return pd.DataFrame(
+            {
+                id_col: kept[id_col],
+                "source": kept["source"],
+                "n_tokens": kept["n_tokens"].astype("int64"),
+                "cum_tokens": cum[cum <= budget].astype("int64"),
+            }
+        )
+
+    return keyed_ds.groupby(["source", "bucket"],
+                            num_partitions=num_partitions).map_groups(
+        select_group, batch_format="pandas"
+    )
+
+
+def sql_mixture_sample(
+    budgets: Mapping[str, int], table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text", source_col: str = "source",
+) -> str:
+    """Render the DuckDB recompute for the same budgets dict — window
+    cumsum over (PARTITION BY source ORDER BY md5(text), id)."""
+    values = ", ".join(
+        f"('{s}', {int(b)})" for s, b in sorted(budgets.items())
+    )
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {source_col} AS source,
+                 CAST(CASE WHEN trim(coalesce({text_col}, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim({text_col}), '\\s+'))
+                      END AS BIGINT) AS n_tokens,
+                 md5(coalesce({text_col}, '')) AS h
+          FROM {table}
+        ),
+        b(source, budget) AS (VALUES {values}),
+        c AS (
+          SELECT t.{id_col}, t.source, t.n_tokens, b.budget,
+                 SUM(t.n_tokens) OVER (
+                   PARTITION BY t.source ORDER BY t.h, t.{id_col}
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t JOIN b USING (source)
+        )
+        SELECT {id_col}, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        FROM c WHERE cum <= budget
+    """
