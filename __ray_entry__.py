@@ -678,6 +678,19 @@ def _q_strip_dup_spans(sf_dir: str):
     )
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Per-doc tf-idf top-k terms (ops/tfidf.py) — linear-idf contract
+    (score = one IEEE division of exact integers, so numpy and DuckDB
+    rank bit-identically); df resolve via the token_df shuffle, broadcast
+    or tag-union co-partitioned apply."""
+    from ocr_sam_project_ray.ops.tfidf import tfidf_topk
+
+    return (
+        tfidf_topk(_docs(sf_dir), k=5, num_partitions=4)
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+
+
 def _q_quality_gopher(sf_dir: str):
     import ray.data
 
@@ -801,6 +814,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   pytest-certified (test_span_dedup, plan-equivalence included).
         "dup_span_stats": _q_dup_span_stats,
         "strip_dup_spans": _q_strip_dup_spans,
+        # * tfidf_topk: round-3 per-doc tf-idf top-k (ops/tfidf.py),
+        #   linear-idf rank-parity contract; full DuckDB oracle below,
+        #   pytest-certified (test_tfidf).
+        "tfidf_topk": _q_tfidf_topk,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -1235,6 +1252,7 @@ def _ops_oracles() -> dict[str, str]:
         "mixture_sample": _mixture_oracle(),
         "dup_span_stats": _span_oracle(False),
         "strip_dup_spans": _span_oracle(True),
+        "tfidf_topk": _tfidf_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -1271,6 +1289,12 @@ def _ops_oracles() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
     }
+
+
+def _tfidf_oracle() -> str:
+    from ocr_sam_project_ray.ops.tfidf import sql_tfidf_topk
+
+    return sql_tfidf_topk(k=5)
 
 
 def _span_oracle(strip: bool) -> str:
