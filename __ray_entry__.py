@@ -386,6 +386,26 @@ def _q_dedup_docs_near_verified(sf_dir: str):
     return kept.select_columns(["doc_id"]).to_pandas().reset_index(drop=True)
 
 
+def _q_dedup_docs_keep_best(sf_dir: str):
+    """Priority near-dedup (ops/graph.py keep_best_by_components) — the
+    CCNet/RefinedWeb rule: within each verified near-dup cluster keep the
+    HIGHEST-n_chars document (ties → min id) instead of the min id.
+    Same LSH → verify → connected-components chain as
+    dedup_docs_near_verified; winner selection is a payload-free
+    score-attach + per-component vectorized argmax."""
+    from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
+    from ocr_sam_project_ray.ops.graph import (
+        connected_components, keep_best_by_components,
+    )
+
+    docs = _docs(sf_dir)
+    pairs = near_dup_verified(docs, threshold=0.8, num_partitions=4)
+    comps = connected_components(pairs, num_partitions=4)
+    kept = keep_best_by_components(docs, comps, "doc_id", "n_chars",
+                                   num_partitions=4)
+    return kept.select_columns(["doc_id"]).to_pandas().reset_index(drop=True)
+
+
 def _q_line_dedup(sf_dir: str):
     """C4-style corpus-global line dedup (ops/line_dedup.py) over the
     extraction output — every distinct line survives at exactly one
@@ -818,6 +838,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   linear-idf rank-parity contract; full DuckDB oracle below,
         #   pytest-certified (test_tfidf).
         "tfidf_topk": _q_tfidf_topk,
+        # * dedup_docs_keep_best: round-3 priority dedup (keep the
+        #   highest-n_chars cluster member); recursive-CTE + window
+        #   oracle below, pytest-certified (test_keep_best).
+        "dedup_docs_keep_best": _q_dedup_docs_keep_best,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -1163,6 +1187,19 @@ def _ops_oracles() -> dict[str, str]:
             WITH RECURSIVE {_cluster_ctes(grams)}
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        """,
+        "dedup_docs_keep_best": f"""
+            WITH RECURSIVE {_cluster_ctes(grams)},
+            losers AS (
+              SELECT node FROM (
+                SELECT c.node, row_number() OVER (
+                  PARTITION BY c.component
+                  ORDER BY d.n_chars DESC, c.node) AS rn
+                FROM comp c JOIN documents d ON d.doc_id = c.node)
+              WHERE rn > 1
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
         """,
         # doc_id%5 in (0,1,2) rows are REAL PNG/GIF/BMP files padded to
         # 2048 bytes with closed-form dims/density (ops/imagebytes.py);

@@ -284,11 +284,20 @@ def drop_by_components(
       driver-side set of unbounded size. List-typed columns (embeddings)
       are packed to binary for the join and unpacked bit-identically after
       (the hash join rejects list non-key fields)."""
+    return _drop_loser_ids(ds, component_losers(components), id_col,
+                           num_partitions)
+
+
+def _drop_loser_ids(
+    ds: Dataset, losers: Dataset, id_col: str, num_partitions: int
+) -> Dataset:
+    """Shared loser-removal plans (broadcast filter / anti-join) for any
+    Dataset(node) of ids to drop — see drop_by_components docstring."""
     import numpy as np
 
     # compact the loser side: the join's shuffle loses its schema broadcast
     # when an input's first block is empty, so feed it only non-empty blocks
-    losers = component_losers(components).materialize()
+    losers = losers.materialize()
     n_losers = losers.count()
     if n_losers == 0:
         return ds
@@ -352,3 +361,113 @@ def drop_by_components(
     if list_cols:
         kept = kept.map_batches(unpack, batch_format="pyarrow")
     return kept
+
+
+def component_losers_by_score(
+    components: Dataset, ds: Dataset, id_col: str, score_col: str,
+    num_partitions: int = 4,
+) -> Dataset:
+    """Nodes that are NOT their component's best-scoring member — the
+    CCNet/RefinedWeb priority-dedup rule: within each duplicate cluster
+    keep the HIGHEST-``score_col`` document (ties → min id), not the min
+    id. Integer score columns recommended (no float-comparison traps).
+
+    Plan (payload-free, two bounded shuffles): the score side is
+    ``ds.select_columns([id, score])`` (two ints/doc) tag-unioned with the
+    component rows and co-partitioned on the node id (partition-local
+    score attach — no Dataset.join); scored component rows are then
+    co-partitioned on the component id, where each partition holds whole
+    components and picks winners with one vectorized lexsort."""
+    import numpy as np
+
+    configure_data_context()
+    node_type = components.schema().base_schema.field("node").type
+    comp_type = components.schema().base_schema.field("component").type
+    scores = ds.select_columns([id_col, score_col])
+
+    def tag_comp(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch["node"],
+                "component": batch["component"],
+                "score": pa.array([0] * n, pa.int64()),
+                "side": pa.array([1] * n, pa.int8()),
+            }
+        )
+
+    def tag_score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch[id_col].cast(node_type),
+                "component": pa.array([None] * n, comp_type),
+                "score": batch[score_col].cast(pa.int64()),
+                "side": pa.array([0] * n, pa.int8()),
+            }
+        )
+
+    unioned = components.map_batches(tag_comp, batch_format="pyarrow").union(
+        scores.map_batches(tag_score, batch_format="pyarrow")
+    ).repartition(num_blocks=num_partitions, keys=["key"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"component": pa.array([], comp_type),
+             "node": pa.array([], node_type),
+             "score": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        is_comp = pc.equal(batch["side"], 1)
+        comp_rows = batch.filter(is_comp)
+        if comp_rows.num_rows == 0:
+            return empty
+        score_rows = batch.filter(pc.invert(is_comp))
+        local = dict(zip(score_rows["key"].to_pylist(),
+                         score_rows["score"].to_pylist()))
+        return pa.table(
+            {
+                "component": comp_rows["component"],
+                "node": comp_rows["key"],
+                "score": pa.array(
+                    [local[n] for n in comp_rows["key"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    scored = unioned.map_batches(attach, batch_format="pyarrow",
+                                 batch_size=None)
+    by_comp = scored.repartition(num_blocks=num_partitions,
+                                 keys=["component"])
+
+    def losers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"node": pa.array([], node_type)})
+        comp = batch["component"].to_numpy(zero_copy_only=False)
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        score = batch["score"].to_numpy(zero_copy_only=False)
+        # winner per component = first row in (component, -score, node)
+        # order; np.lexsort keys are last-is-primary
+        order = np.lexsort((node, -score, comp))
+        first = np.ones(len(order), dtype=bool)
+        sc = comp[order]
+        first[1:] = sc[1:] != sc[:-1]
+        loser_nodes = node[order][~first]
+        return pa.table({"node": pa.array(loser_nodes, node_type)})
+
+    return by_comp.map_batches(losers, batch_format="pyarrow",
+                               batch_size=None)
+
+
+def keep_best_by_components(
+    ds: Dataset, components: Dataset, id_col: str, score_col: str,
+    num_partitions: int = 4,
+) -> Dataset:
+    """Keep the best-``score_col`` survivor (ties → min id) per component;
+    loser removal reuses the broadcast-filter / anti-join plans of
+    drop_by_components."""
+    losers = component_losers_by_score(components, ds, id_col, score_col,
+                                       num_partitions)
+    return _drop_loser_ids(ds, losers, id_col, num_partitions)
