@@ -497,6 +497,24 @@ def _q_knn_ivf(sf_dir: str):
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (ops/kmeans.py, Abbas et al. 2023): full-corpus
+    distributed k-means (farthest-point seeding, mergeable partial-sum
+    Lloyd's) → within-cluster cosine ≥ eps pairs → connected components
+    → min-id survivor. Approximate by construction (cross-cluster pairs
+    missed) — rows-only here; exactness at n_clusters=1 and recall floors
+    are pytest-certified (test_kmeans)."""
+    from ocr_sam_project_ray.ops.kmeans import semdedup
+
+    kept, _skipped = semdedup(
+        _embeddings(sf_dir), eps=0.4, n_clusters=8, iters=4
+    )
+    return (
+        kept.select_columns(["vec_id"]).to_pandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+
+
 def _q_cosine_near_pairs(sf_dir: str):
     from ocr_sam_project_ray.ops.embed import cosine_near_pairs
 
@@ -711,6 +729,32 @@ def _q_tfidf_topk(sf_dir: str):
     )
 
 
+def _q_length_deciles(sf_dir: str):
+    """Exact global rank + NTILE(10) by (n_chars, doc_id) WITHOUT a global
+    sort (ops/ranking.py) — distributed key histogram → broadcast base
+    ranks → payload-free key repartition + vectorized within-key lexsort.
+    The length-balanced sharding / curriculum-bucketing step."""
+    from ocr_sam_project_ray.ops.ranking import global_rank_ntile
+
+    return (
+        global_rank_ntile(_docs(sf_dir), "n_chars", k=10, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Exact stratified sampling (ops/stratified.py) — keep exactly
+    ceil(group_size × 3/10) docs per language in deterministic
+    (md5(text), doc_id) order; integer quota test, no float threshold.
+    Distributed prefix-sum partitioned by (stratum, hash bucket)."""
+    from ocr_sam_project_ray.ops.stratified import stratified_sample
+
+    return (
+        stratified_sample(_docs(sf_dir), 3, 10, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_quality_gopher(sf_dir: str):
     import ray.data
 
@@ -842,10 +886,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   highest-n_chars cluster member); recursive-CTE + window
         #   oracle below, pytest-certified (test_keep_best).
         "dedup_docs_keep_best": _q_dedup_docs_keep_best,
+        # * length_deciles: round-3 exact global rank/NTILE op
+        #   (ops/ranking.py); row_number+NTILE oracle below,
+        #   pytest-certified (test_ranking).
+        "length_deciles": _q_length_deciles,
+        # * stratified_sample: round-3 exact per-stratum quota sampling
+        #   (ops/stratified.py); window oracle below, pytest-certified
+        #   (test_stratified).
+        "stratified_sample": _q_stratified_sample,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
         "approx_distinct_users": _q_approx_distinct_users,  # rows-only (sketch)
+        "semdedup": _q_semdedup,                  # rows-only (approximate)
     }
 
 
@@ -1290,6 +1343,8 @@ def _ops_oracles() -> dict[str, str]:
         "dup_span_stats": _span_oracle(False),
         "strip_dup_spans": _span_oracle(True),
         "tfidf_topk": _tfidf_oracle(),
+        "length_deciles": _ranking_oracle(),
+        "stratified_sample": _stratified_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -1326,6 +1381,18 @@ def _ops_oracles() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
     }
+
+
+def _stratified_oracle() -> str:
+    from ocr_sam_project_ray.ops.stratified import sql_stratified_sample
+
+    return sql_stratified_sample(3, 10)
+
+
+def _ranking_oracle() -> str:
+    from ocr_sam_project_ray.ops.ranking import sql_global_rank_ntile
+
+    return sql_global_rank_ntile("n_chars", k=10)
 
 
 def _tfidf_oracle() -> str:

@@ -169,6 +169,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).count()
     queries["line_dedup_extracted"] = round(time.time() - t0, 3)
 
+    # ExactSubstr duplicate-span stats over the documents table (gram
+    # resolve shuffle + broadcast searchsorted apply)
+    from ocr_sam_project_ray.ops.span_dedup import dup_span_stats
+
+    t0 = time.time()
+    dup_span_stats(docs, num_partitions=8).count()
+    queries["span_dedup_docs"] = round(time.time() - t0, 3)
+
+    # SemDeDup over the embeddings table (full-corpus k-means + within-
+    # cluster cosine pairs + CC + drop)
+    from ocr_sam_project_ray.ops.kmeans import semdedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    kept, _ = semdedup(emb, eps=0.4, n_clusters=8, iters=4,
+                       num_partitions=8)
+    kept.count()
+    queries["semdedup_embeddings"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),

@@ -1,0 +1,258 @@
+"""Distributed k-means over an embedding column + SemDeDup semantic
+near-dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication").
+
+kmeans_fit is full-corpus Lloyd's as mergeable map_batches partials —
+NOT the bounded-sample k-means-lite of embed.knn_ivf (which trains on
+``limit(sample_rows)``): every iteration each batch emits per-centroid
+(sum_vec, count) partial rows; the driver folds k×(dim+1) doubles per
+block (bounded: k × dim state, independent of corpus size) into the next
+centroids. Deterministic: farthest-point (greedy k-center) seeding with
+min-id tie-breaks, fixed iteration count, no RNG anywhere.
+
+semdedup composes the engine's existing certified pieces:
+  kmeans assign (broadcast centroids, one matmul per batch)
+  → within-cluster cosine pairs ≥ eps (cluster-bucketed, the IVF
+    bucket-compare shape; ×1 fan-out since each vector has ONE cluster)
+  → graph.connected_components → graph.drop_by_components (min-id
+    survivor; swap in keep_best_by_components for priority rules).
+Approximate by construction — pairs split across cluster boundaries are
+missed, the standard SemDeDup trade-off; with n_clusters=1 it is EXACT
+(equality-tested against the brute-force kernel in pytest), and recall
+on clustered synthetic data is floor-tested like knn_ivf.
+
+Scale notes: centroid state is k×dim (broadcast once per iteration);
+the only shuffle is the per-cluster repartition of (id, cluster,
+embedding) before pair generation; within-cluster compare is O(sum of
+cluster-size²) — pick n_clusters so the expected cluster fits a worker
+(SemDeDup's own recipe), and the hot-cluster guard counts any cluster
+skipped over ``max_cluster_rows`` instead of dying (no silent caps:
+counts are returned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from ..context import configure_data_context
+from .embed import _batch_matrix, _normalize
+
+DEFAULT_ITERS = 8
+MAX_CLUSTER_ROWS = 100_000
+
+
+def _farthest_point_seeds(
+    ds: Dataset, k: int, id_col: str, emb_col: str
+) -> np.ndarray:
+    """Deterministic farthest-point init (greedy k-center, Gonzalez 1985;
+    the derandomized cousin of k-means++): seed 0 is the min-id vector;
+    each next seed is the corpus vector with the smallest maximum cosine
+    to the seeds so far (ties → min id). k bounded passes, each reducing
+    to ONE candidate row per block on the driver — no shuffle, no RNG."""
+
+    def min_id_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = _batch_matrix(batch, emb_col)
+        i = int(np.argmin(ids))
+        return pa.table(
+            {"sid": pa.array([ids[i]], pa.int64()),
+             "emb": pa.array([m[i].tobytes()], pa.binary())}
+        )
+
+    def best(candidates: list[tuple]) -> tuple:
+        return min(candidates)
+
+    rows = [
+        (r["sid"], r["emb"])
+        for b in ds.map_batches(min_id_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    if not rows:
+        raise ValueError("empty corpus")
+    seeds = [np.frombuffer(best(rows)[1], dtype=np.float64)]
+
+    for _ in range(k - 1):
+        s_ref = ray.put(_normalize(np.stack(seeds)))
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            s = ray.get(s_ref)
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            m = _normalize(_batch_matrix(batch, emb_col))
+            max_cos = (m @ s.T).max(axis=1)
+            # per-block argmin with min-id tie-break via lexsort
+            i = int(np.lexsort((ids, max_cos))[0])
+            return pa.table(
+                {"cos": pa.array([float(max_cos[i])], pa.float64()),
+                 "sid": pa.array([ids[i]], pa.int64()),
+                 "emb": pa.array(
+                     [_batch_matrix(batch, emb_col)[i].tobytes()],
+                     pa.binary())}
+            )
+
+        cands = [
+            (r["cos"], r["sid"], r["emb"])
+            for b in ds.map_batches(far_partial, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        ]
+        seeds.append(np.frombuffer(best(cands)[2], dtype=np.float64))
+    # a corpus with fewer distinct vectors than k repeats seeds; the
+    # duplicate clusters stay empty through Lloyd's (counts==0 guard)
+    return np.stack(seeds)
+
+
+def kmeans_fit(
+    ds: Dataset, n_clusters: int, iters: int = DEFAULT_ITERS,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's over the FULL corpus; returns (n_clusters, dim) float64
+    centroids. Cosine assignment (normalized dot), mean update."""
+    configure_data_context()
+    cents = _farthest_point_seeds(ds, n_clusters, id_col, emb_col)
+
+    for _ in range(iters):
+        c_ref = ray.put(_normalize(cents))
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            m = _batch_matrix(batch, emb_col)
+            assign = np.argmax(_normalize(m) @ c.T, axis=1)
+            rows_c, rows_n, rows_s = [], [], []
+            for j in np.unique(assign):
+                members = m[assign == j]
+                rows_c.append(int(j))
+                rows_n.append(members.shape[0])
+                rows_s.append(members.sum(axis=0).tobytes())
+            return pa.table(
+                {
+                    "cluster": pa.array(rows_c, pa.int32()),
+                    "n": pa.array(rows_n, pa.int64()),
+                    "s": pa.array(rows_s, pa.binary()),
+                }
+            )
+
+        # k rows per block — bounded driver fold, no shuffle at all
+        sums = np.zeros_like(cents)
+        counts = np.zeros(n_clusters, dtype=np.int64)
+        for b in ds.map_batches(
+            partials, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for j, n, s in zip(b["cluster"].to_pylist(),
+                               b["n"].to_pylist(), b["s"].to_pylist()):
+                sums[j] += np.frombuffer(s, dtype=np.float64)
+                counts[j] += n
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cents
+
+
+def assign_clusters(
+    ds: Dataset, centroids: np.ndarray, id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Append a ``cluster`` column: nearest centroid by cosine."""
+    c_ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, emb_col))
+        cluster = np.argmax(m @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("cluster", pa.array(cluster, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup_pairs(
+    ds: Dataset, eps: float, n_clusters: int, iters: int = DEFAULT_ITERS,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    num_partitions: int = 4, max_cluster_rows: int = MAX_CLUSTER_ROWS,
+) -> tuple[Dataset, Dataset]:
+    """(pairs, skipped): within-cluster cosine ≥ eps candidate pairs
+    (id_a < id_b) and a (cluster, n_rows) table of clusters skipped by the
+    hot-cluster guard (empty when nothing was dropped)."""
+    configure_data_context()
+    cents = kmeans_fit(ds, n_clusters, iters, id_col, emb_col)
+    assigned = assign_clusters(ds, cents, id_col, emb_col)
+    by_cluster = assigned.select_columns(
+        [id_col, emb_col, "cluster"]
+    ).repartition(num_blocks=min(num_partitions, n_clusters),
+                  keys=["cluster"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        skip_c, skip_n = [], []
+        if batch.num_rows:
+            clusters = np.asarray(batch["cluster"].to_pylist())
+            ids_all = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            m_all = _normalize(_batch_matrix(batch, emb_col))
+            for cl in np.unique(clusters):
+                sel = clusters == cl
+                if int(sel.sum()) > max_cluster_rows:
+                    skip_c.append(int(cl))
+                    skip_n.append(int(sel.sum()))
+                    continue
+                ids = ids_all[sel]
+                order = np.argsort(ids)
+                ids = ids[order]
+                m = m_all[sel][order]
+                sims = m @ m.T
+                ia, ib = np.triu_indices(len(ids), k=1)
+                mask = sims[ia, ib] >= eps
+                out_a.extend(ids[ia[mask]].tolist())
+                out_b.extend(ids[ib[mask]].tolist())
+                out_s.extend(np.round(sims[ia, ib][mask], 6).tolist())
+        # pair rows and skip-marker rows share one table (id_a NULL marks
+        # a skip row) so the stage emits a single stable schema
+        n_pairs, n_skip = len(out_a), len(skip_c)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a + [None] * n_skip, pa.int64()),
+                "id_b": pa.array(out_b + [None] * n_skip, pa.int64()),
+                "sim": pa.array(out_s + [None] * n_skip, pa.float64()),
+                "_skip_c": pa.array([None] * n_pairs + skip_c, pa.int32()),
+                "_skip_n": pa.array([None] * n_pairs + skip_n, pa.int64()),
+            }
+        )
+
+    raw = by_cluster.map_batches(pairs, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+    import pyarrow.compute as pc
+
+    pair_ds = raw.map_batches(
+        lambda t: t.filter(pc.is_valid(t["id_a"]))
+        .select(["id_a", "id_b", "sim"]),
+        batch_format="pyarrow",
+    )
+    skipped = raw.map_batches(
+        lambda t: pa.table(
+            {"cluster": t.filter(pc.is_valid(t["_skip_c"]))["_skip_c"],
+             "n_rows": t.filter(pc.is_valid(t["_skip_c"]))["_skip_n"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return pair_ds, skipped
+
+
+def semdedup(
+    ds: Dataset, eps: float, n_clusters: int, iters: int = DEFAULT_ITERS,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    num_partitions: int = 4, max_cluster_rows: int = MAX_CLUSTER_ROWS,
+) -> tuple[Dataset, Dataset]:
+    """(kept, skipped): drop all but the min-id member of every semantic
+    duplicate group (cosine ≥ eps within a k-means cluster)."""
+    from .graph import connected_components, drop_by_components
+
+    pair_ds, skipped = semdedup_pairs(
+        ds, eps, n_clusters, iters, id_col, emb_col, num_partitions,
+        max_cluster_rows,
+    )
+    comps = connected_components(
+        pair_ds.select_columns(["id_a", "id_b"]), num_partitions=num_partitions
+    )
+    kept = drop_by_components(ds, comps, id_col, num_partitions)
+    return kept, skipped

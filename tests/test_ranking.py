@@ -1,0 +1,92 @@
+"""Global rank + NTILE without a global sort: engine↔SQL parity, NTILE
+remainder semantics (N % k != 0), duplicate-key tie-break by id,
+partition invariance, and the distinct-key bound guard."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ocr_sam_project_ray.ops.ranking import (
+    _ntile_of,
+    global_rank_ntile,
+    sql_global_rank_ntile,
+)
+
+
+def _docs(n=23, seed=7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # heavy duplication in the key column to exercise tie-breaks
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n)[::-1].copy(), pa.int64()),
+            "n_chars": pa.array(rng.integers(0, 6, n), pa.int64()),
+        }
+    )
+
+
+def _oracle(tbl: pa.Table, k: int) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    return con.execute(sql_global_rank_ntile("n_chars", k=k)).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (df[sorted(df.columns)].sort_values("doc_id")
+            .reset_index(drop=True).astype("int64"))
+
+
+@pytest.mark.parametrize("k", [1, 4, 10, 23, 100])
+def test_matches_sql_oracle(k):
+    tbl = _docs()
+    got = global_rank_ntile(
+        ray.data.from_arrow(tbl), "n_chars", k=k, num_partitions=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(_oracle(tbl, k)))
+
+
+def test_rank_is_a_permutation_and_ties_break_by_id():
+    tbl = _docs()
+    got = global_rank_ntile(
+        ray.data.from_arrow(tbl), "n_chars", k=5, num_partitions=2
+    ).to_pandas().sort_values("rank")
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    # within equal keys, rank order == id order
+    for _, grp in got.groupby("n_chars"):
+        assert grp["doc_id"].is_monotonic_increasing
+
+
+def test_ntile_remainder_semantics():
+    # N=7, k=3 -> tile sizes 3,2,2
+    ranks0 = np.arange(7)
+    assert list(_ntile_of(ranks0, 7, 3)) == [1, 1, 1, 2, 2, 3, 3]
+    # N=6, k=3 -> 2,2,2
+    assert list(_ntile_of(np.arange(6), 6, 3)) == [1, 1, 2, 2, 3, 3]
+    # k > N: one row per tile, tiles 1..N used
+    assert list(_ntile_of(np.arange(3), 3, 10)) == [1, 2, 3]
+
+
+def test_partition_invariance():
+    tbl = _docs(101, seed=3)
+    a = global_rank_ntile(
+        ray.data.from_arrow(tbl).repartition(1), "n_chars", k=7,
+        num_partitions=1,
+    ).to_pandas()
+    b = global_rank_ntile(
+        ray.data.from_arrow(tbl).repartition(9), "n_chars", k=7,
+        num_partitions=5,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+def test_distinct_key_bound_guard():
+    tbl = pa.table(
+        {"doc_id": pa.array(range(10), pa.int64()),
+         "n_chars": pa.array(range(10), pa.int64())}
+    )
+    with pytest.raises(ValueError, match="distinct keys"):
+        global_rank_ntile(
+            ray.data.from_arrow(tbl), "n_chars", max_distinct_keys=3
+        )
