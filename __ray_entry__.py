@@ -755,6 +755,96 @@ def _q_stratified_sample(sf_dir: str):
     )
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted bottom-k sampling (ops/wsample.py):
+    priority = hash60(text) // n_chars, k smallest corpus-wide; local
+    per-block bottom-k prune then a tiny sort-limit merge."""
+    from ocr_sam_project_ray.ops.wsample import weighted_sample
+
+    return (
+        weighted_sample(_docs(sf_dir), 60)
+        .to_pandas().reset_index(drop=True)
+    )
+
+
+def _q_rep_ngrams(sf_dir: str):
+    """Gopher within-doc repetition signals (ops/repetition.py): top/dup
+    n-gram counters + integer-ppm duplicate fractions for n in {2,3};
+    the oracle recomputes via positioned unnest + offset self-joins."""
+    from ocr_sam_project_ray.ops.repetition import score_repetition
+
+    return (
+        score_repetition(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+_BLOCKED_HOSTS = ["portal7.example.pa", "portal13.example.pa"]
+
+
+def _q_url_canonical(sf_dir: str):
+    """URL canonicalization + host blocklist (ops/urltools.py) over the
+    pages table with a deterministic decoration fixture (tracking params,
+    uppercase heads, default ports, fragments keyed on doc number % 5) so
+    every rule fires; the oracle recomputes decoration + the full RE2
+    rule chain in DuckDB."""
+    import numpy as np
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.ops.urltools import (
+        canonicalize_urls, flag_blocked_hosts,
+    )
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    configure_data_context()
+    paths = ensure_corpus(sf_dir)
+    ds = ray.data.read_parquet(paths["pages"], columns=["url", "warc_ts"])
+
+    def decorate(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        url = pc.cast(batch.column("url"), pa.string())
+        d = pc.cast(
+            pc.struct_field(pc.extract_regex(url, r"(?P<d>[0-9]+)$"), "d"),
+            pa.int64(),
+        )
+        dstr = pc.cast(d, pa.string())
+        m = pa.array(d.to_numpy(zero_copy_only=False) % 5, pa.int64())
+        head = pc.replace_substring_regex(
+            url, pattern=r"^(https://[^/]*).*$", replacement=r"\1")
+        tail = pc.replace_substring_regex(
+            url, pattern=r"^https://[^/]*", replacement="")
+        v0 = pc.binary_join_element_wise(url, "?utm_source=feed&id=", dstr, "")
+        v1 = pc.binary_join_element_wise(
+            url, "?id=", dstr, "&utm_campaign=x&fbclid=f", dstr, "")
+        v2 = pc.binary_join_element_wise(
+            pc.utf8_upper(head), tail, "#frag", "")
+        v3 = pc.binary_join_element_wise(
+            pc.replace_substring(url, ".pa/", ".pa:443/"),
+            "?gclid=g", dstr, "")
+        raw = pc.if_else(
+            pc.equal(m, 0), v0,
+            pc.if_else(pc.equal(m, 1), v1,
+                       pc.if_else(pc.equal(m, 2), v2,
+                                  pc.if_else(pc.equal(m, 3), v3, url))))
+        return batch.append_column("raw_url", raw)
+
+    out = flag_blocked_hosts(
+        canonicalize_urls(
+            ds.map_batches(decorate, batch_format="pyarrow"),
+            url_col="raw_url",
+        ),
+        _BLOCKED_HOSTS,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["url", "warc_ts"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_quality_gopher(sf_dir: str):
     import ray.data
 
@@ -894,6 +984,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/stratified.py); window oracle below, pytest-certified
         #   (test_stratified).
         "stratified_sample": _q_stratified_sample,
+        # * url_canonical: round-3 URL canonicalization + host blocklist
+        #   (ops/urltools.py); full RE2 rule-chain oracle below,
+        #   pytest-certified (test_urltools).
+        "url_canonical": _q_url_canonical,
+        # * rep_ngrams: round-3 Gopher repetition signals
+        #   (ops/repetition.py); unnest/self-join oracle below,
+        #   pytest-certified (test_repetition).
+        "rep_ngrams": _q_rep_ngrams,
+        # * weighted_sample: round-3 deterministic weighted bottom-k
+        #   (ops/wsample.py); ORDER BY priority LIMIT k oracle below,
+        #   pytest-certified (test_wsample).
+        "weighted_sample": _q_weighted_sample,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -910,9 +1012,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from ocr_sam_project_ray.ops.pii import sql_rules
+    from ocr_sam_project_ray.ops.urltools import sql_canonicalize
     from ocr_sam_project_ray.sources.synthetic import ensure_corpus
 
     _pii_expr, _pii_counts = sql_rules("extracted_text")
+    _url_canon, _url_host, _url_ntr = sql_canonicalize("raw_url")
+    _blocked_sql = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
     p = ensure_corpus("/root/testdata/sf0.01")
     gp = p["golden_pages"]
     gs = p["golden_segments"]
@@ -1014,6 +1119,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(parts) > 3
                         THEN array_to_string(parts[4:], ' ') ELSE '' END AS nombre_segundo
             FROM p
+        """,
+        "url_canonical": f"""
+            WITH raw AS (
+              SELECT url, warc_ts,
+                     CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS d
+              FROM read_parquet('{pages}')
+            ),
+            dec AS (
+              SELECT url, warc_ts,
+                CASE d % 5
+                  WHEN 0 THEN url || '?utm_source=feed&id=' || CAST(d AS VARCHAR)
+                  WHEN 1 THEN url || '?id=' || CAST(d AS VARCHAR)
+                              || '&utm_campaign=x&fbclid=f' || CAST(d AS VARCHAR)
+                  WHEN 2 THEN upper(regexp_replace(url, '^(https://[^/]*).*$',
+                                                   '\\1', 'g'))
+                              || regexp_replace(url, '^https://[^/]*', '', 'g')
+                              || '#frag'
+                  WHEN 3 THEN replace(url, '.pa/', '.pa:443/')
+                              || '?gclid=g' || CAST(d AS VARCHAR)
+                  ELSE url END AS raw_url
+              FROM raw
+            )
+            SELECT url, warc_ts, raw_url,
+                   {_url_canon} AS canonical_url,
+                   {_url_host} AS host,
+                   {_url_ntr} AS n_tracking,
+                   {_url_host} IN ({_blocked_sql}) AS blocked
+            FROM dec
         """,
         "host_stats": f"""
             WITH h AS (
@@ -1345,6 +1478,8 @@ def _ops_oracles() -> dict[str, str]:
         "tfidf_topk": _tfidf_oracle(),
         "length_deciles": _ranking_oracle(),
         "stratified_sample": _stratified_oracle(),
+        "rep_ngrams": _repetition_oracle(),
+        "weighted_sample": _wsample_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -1381,6 +1516,18 @@ def _ops_oracles() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
     }
+
+
+def _wsample_oracle() -> str:
+    from ocr_sam_project_ray.ops.wsample import sql_weighted_sample
+
+    return sql_weighted_sample(60)
+
+
+def _repetition_oracle() -> str:
+    from ocr_sam_project_ray.ops.repetition import sql_repetition
+
+    return sql_repetition()
 
 
 def _stratified_oracle() -> str:
