@@ -845,6 +845,76 @@ def _q_url_canonical(sf_dir: str):
     )
 
 
+def _pages_full(sf_dir: str):
+    """pages Dataset with the columns the link-graph ops need."""
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    configure_data_context()
+    paths = ensure_corpus(sf_dir)
+    return ray.data.read_parquet(paths["pages"],
+                                 columns=["url", "html", "text"])
+
+
+def _q_host_linkgraph(sf_dir: str):
+    """Host→host link adjacency from href extraction (ops/linkgraph.py);
+    oracle re-extracts with decode + regexp_extract_all + unnest."""
+    from ocr_sam_project_ray.ops.linkgraph import host_linkgraph
+
+    return (
+        host_linkgraph(_pages_full(sf_dir))
+        .to_pandas().sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank, 5 iterations (ops/linkgraph.py);
+    oracle unrolls the identical integer recurrence as chained CTEs."""
+    from ocr_sam_project_ray.ops.linkgraph import host_pagerank
+
+    return (
+        host_pagerank(_pages_full(sf_dir), iters=5)
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    )
+
+
+_HOST_QUOTA_N = 40
+
+
+def _q_host_quota(sf_dir: str):
+    """Per-host document cap in deterministic (md5(url), url) order
+    (ops/hostquota.py); oracle is a QUALIFY row_number window."""
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.ops.hostquota import host_quota
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    configure_data_context()
+    paths = ensure_corpus(sf_dir)
+    ds = ray.data.read_parquet(paths["pages"], columns=["url"])
+    return (
+        host_quota(ds, _HOST_QUOTA_N)
+        .to_pandas().sort_values(["host", "host_rank"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_lm_buckets(sf_dir: str):
+    """CCNet head/middle/tail terciles over the integer-ppm trigram
+    familiarity score (ops/ngram_lm.familiarity_buckets); oracle is the
+    trigram chain + NTILE(3)."""
+    from ocr_sam_project_ray.ops.ngram_lm import familiarity_buckets
+
+    return (
+        familiarity_buckets(_docs(sf_dir), num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_quality_gopher(sf_dir: str):
     import ray.data
 
@@ -988,6 +1058,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/urltools.py); full RE2 rule-chain oracle below,
         #   pytest-certified (test_urltools).
         "url_canonical": _q_url_canonical,
+        # * host_linkgraph / host_pagerank: round-3 web-graph surface
+        #   (ops/linkgraph.py); href-extraction + unrolled fixed-point
+        #   integer PageRank oracles below, pytest-certified
+        #   (test_linkgraph).
+        "host_linkgraph": _q_host_linkgraph,
+        "host_pagerank": _q_host_pagerank,
+        # * host_quota: round-3 per-host document cap (ops/hostquota.py);
+        #   QUALIFY window oracle below, pytest-certified (test_hostquota).
+        "host_quota": _q_host_quota,
+        # * lm_buckets: round-3 CCNet head/middle/tail terciles
+        #   (ops/ngram_lm.familiarity_buckets); NTILE oracle below,
+        #   pytest-certified (test_ngram_lm).
+        "lm_buckets": _q_lm_buckets,
         # * rep_ngrams: round-3 Gopher repetition signals
         #   (ops/repetition.py); unnest/self-join oracle below,
         #   pytest-certified (test_repetition).
@@ -1017,6 +1100,16 @@ def oracle_sql() -> dict[str, str]:
 
     _pii_expr, _pii_counts = sql_rules("extracted_text")
     _url_canon, _url_host, _url_ntr = sql_canonicalize("raw_url")
+    from ocr_sam_project_ray.ops.linkgraph import (
+        sql_host_linkgraph as _sql_host_linkgraph,
+        sql_host_pagerank as _sql_host_pagerank,
+    )
+    from ocr_sam_project_ray.ops.hostquota import (
+        SQL_HOST_QUOTA as _sql_host_quota,
+    )
+    from ocr_sam_project_ray.ops.ngram_lm import (
+        sql_familiarity_buckets as _sql_lm_buckets,
+    )
     _blocked_sql = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
     p = ensure_corpus("/root/testdata/sf0.01")
     gp = p["golden_pages"]
@@ -1120,6 +1213,10 @@ def oracle_sql() -> dict[str, str]:
                         THEN array_to_string(parts[4:], ' ') ELSE '' END AS nombre_segundo
             FROM p
         """,
+        "host_linkgraph": _sql_host_linkgraph(pages),
+        "host_pagerank": _sql_host_pagerank(pages, 5),
+        "host_quota": _sql_host_quota.format(pages=pages, n=_HOST_QUOTA_N),
+        "lm_buckets": _sql_lm_buckets(),
         "url_canonical": f"""
             WITH raw AS (
               SELECT url, warc_ts,

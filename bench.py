@@ -177,6 +177,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     dup_span_stats(docs, num_partitions=8).count()
     queries["span_dedup_docs"] = round(time.time() - t0, 3)
 
+    # host link graph + fixed-point PageRank over the raw pages corpus
+    # (href extraction streams the html payload; ranks stay host-bounded)
+    from ocr_sam_project_ray.ops.linkgraph import host_pagerank
+
+    pages_ds = ray.data.read_parquet(paths["pages"],
+                                     columns=["url", "html", "text"])
+    t0 = time.time()
+    host_pagerank(pages_ds, iters=5, num_partitions=8).count()
+    queries["host_pagerank"] = round(time.time() - t0, 3)
+
+    # per-host quota cap (payload-free prefix-sum keep set)
+    from ocr_sam_project_ray.ops.hostquota import host_quota
+
+    t0 = time.time()
+    host_quota(
+        ray.data.read_parquet(paths["pages"], columns=["url"]), 500,
+        num_partitions=8,
+    ).count()
+    queries["host_quota"] = round(time.time() - t0, 3)
+
     # SemDeDup over the embeddings table (full-corpus k-means + within-
     # cluster cosine pairs + CC + drop)
     from ocr_sam_project_ray.ops.kmeans import semdedup

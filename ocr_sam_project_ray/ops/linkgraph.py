@@ -1,0 +1,300 @@
+"""Host-level web link graph + fixed-point PageRank over the pages table.
+
+The web-graph pair every crawl pipeline maintains: (1) extract outbound
+links from each page and aggregate them into a host→host edge table;
+(2) rank hosts by link structure (PageRank) to drive crawl prioritisation
+and per-domain quality priors (the CCNet / Common Crawl "domain rank"
+signal).
+
+Link extraction contract (mirrored exactly by the SQL oracle):
+
+- WELL-FORMED HTML gate: only rows with non-empty ``text`` (the corpus
+  convention for "this payload parsed"; malformed payloads carry
+  ``text == ''``) AND an ``<!DOCTYPE`` magic-byte prefix (the corpus
+  also carries real PDF payloads in the same binary column — the
+  multimodal magic-sniff rule) are scanned; gated rows are valid UTF-8
+  by construction, so the vectorized Arrow ``binary → string`` cast is
+  safe.
+- links are ``href="…"`` attribute values (the reference's corpora are
+  server-rendered portals; a full DOM walk adds nothing for href sets);
+- an href starting with ``http://`` / ``https://`` contributes an edge to
+  ITS host; any other href (relative) is an intra-host edge to the
+  page's own host;
+- host = url minus scheme, up to the first ``/`` — the same two-regex
+  rewrite as ``ops/corpus_stats.host_stats`` so "host" means one thing
+  corpus-wide.
+
+PageRank is a FIXED-POINT INTEGER contract so engine and oracle agree
+bit-for-bit with zero float-order sensitivity (the repo-wide integer-
+contract rule; see ops/tfidf.py for the rationale):
+
+- ``SCALE = 10**12`` mass units, ``r0(v) = SCALE // |V|`` for every host;
+- ``out(u)`` = total outgoing link count (multiplicity counts);
+- per edge (u, v, n):  ``contrib = n * (r // out) + (n * (r % out)) // out``
+  (the two-term split keeps every intermediate below 2**63 for any
+  realistic host: it overflows only when ``n * out ≥ 2**63``);
+- ``r'(v) = TELEPORT + (85 * Σ contrib) // 100`` with
+  ``TELEPORT = (15 * (SCALE // |V|)) // 100`` — damping 0.85 in exact
+  integer arithmetic; dangling-host mass is dropped (the standard
+  simplification; ranks remain a strict partial order on link mass);
+- a fixed number of iterations (default 5), unrolled in the SQL oracle.
+
+Scale plan: the EDGE TABLE streams (per-batch Arrow group-by combiner →
+one (src,dst) shuffle); the RANK VECTOR is bounded by |V| = distinct
+hosts, held as one numpy array on the driver and broadcast per iteration
+(``ray.put`` once per round) — 5M hosts ≈ 40 MB, the same explicit bound
+as ops/ranking.py. Above ``max_hosts`` the op raises with the documented
+remedy (pre-aggregate hosts to registered domains, or raise the bound)
+rather than silently degrading.
+
+The reference has no graph surface at all; this op is part of the
+engine's beyond-reference web-scale inventory (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..context import configure_data_context
+
+HREF_RE = r'href="([^"]+)"'
+_HREF_C = re.compile(HREF_RE)
+_ABS_C = re.compile(r"^https?://")
+
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+MAX_HOSTS = 5_000_000
+
+
+def _host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """url → host, the host_stats two-step rewrite (vectorized RE2)."""
+    stripped = pc.replace_substring_regex(
+        urls, pattern=r"^https?://", replacement=""
+    )
+    return pc.replace_substring_regex(stripped, pattern=r"/.*$", replacement="")
+
+
+def extract_links(
+    ds: Dataset, url_col: str = "url", html_col: str = "html",
+    text_col: str = "text",
+) -> Dataset:
+    """pages → Dataset(src_host, dst_host), one row per href occurrence.
+
+    Stateless task-pool stage; the html payload never leaves it — only
+    the two short host columns travel on."""
+
+    def links(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(pc.cast(batch[text_col], pa.string()), ""),
+            pc.equal(pc.binary_slice(batch[html_col], 0, 9), b"<!DOCTYPE"),
+        )
+        batch = batch.filter(pc.fill_null(keep, False))
+        if batch.num_rows == 0:
+            return pa.table({"src_host": pa.array([], pa.string()),
+                             "dst_host": pa.array([], pa.string())})
+        # gated rows are valid UTF-8 → vectorized validating cast
+        html = pc.cast(batch[html_col], pa.string()).to_pylist()
+        src = _host_of(batch[url_col]).to_pylist()
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for s, h in zip(src, html):
+            for href in _HREF_C.findall(h):
+                srcs.append(s)
+                if _ABS_C.match(href):
+                    dsts.append(href.split("/", 3)[2])
+                else:
+                    dsts.append(s)
+        return pa.table({"src_host": pa.array(srcs, pa.string()),
+                         "dst_host": pa.array(dsts, pa.string())})
+
+    return ds.map_batches(links, batch_format="pyarrow")
+
+
+def host_linkgraph(ds: Dataset, num_partitions: int = 4) -> Dataset:
+    """pages → Dataset(src_host, dst_host, n_links): the aggregated host
+    adjacency. Per-batch Arrow combiner first, then ONE (src,dst) shuffle
+    over already-collapsed partials."""
+    configure_data_context()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["src_host", "dst_host"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["src_host", "dst_host", "n_links"])
+
+    return (
+        extract_links(ds)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"], num_partitions=num_partitions)
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+
+
+def host_pagerank(
+    ds: Dataset, iters: int = 5, num_partitions: int = 4,
+    max_hosts: int = MAX_HOSTS,
+) -> Dataset:
+    """pages → Dataset(host, rank): ``iters`` rounds of the fixed-point
+    PageRank contract over the host link graph. Edge table streams; the
+    rank vector is driver-bounded by ``max_hosts`` (raise above)."""
+    configure_data_context()
+    edges = host_linkgraph(ds, num_partitions=num_partitions).materialize()
+
+    # node set + out-degree: one small aggregation each, driver-bounded
+    outd = (
+        edges.groupby("src_host", num_partitions=2)
+        .aggregate(Sum("n_links", alias_name="out"))
+        .to_pandas()
+    )
+    dsts = (
+        edges.groupby("dst_host", num_partitions=2)
+        .aggregate(Sum("n_links", alias_name="_n"))
+        .to_pandas()
+    )
+    hosts = np.unique(
+        np.concatenate([outd["src_host"].to_numpy(dtype=object),
+                        dsts["dst_host"].to_numpy(dtype=object)])
+    )
+    nv = len(hosts)
+    if nv > max_hosts:
+        raise ValueError(
+            f"{nv} hosts exceeds max_hosts={max_hosts}; pre-aggregate to "
+            "registered domains or raise the bound"
+        )
+    out = np.zeros(nv, dtype=np.int64)
+    out[np.searchsorted(hosts, outd["src_host"].to_numpy(dtype=object))] = (
+        outd["out"].to_numpy(dtype=np.int64)
+    )
+
+    base = SCALE // nv
+    teleport = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN
+    ranks = np.full(nv, base, dtype=np.int64)
+    hosts_ref = ray.put(hosts)
+    out_ref = ray.put(out)
+
+    for _ in range(iters):
+        ranks_ref = ray.put(ranks)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            hv, ov, rv = ray.get(hosts_ref), ray.get(out_ref), ray.get(ranks_ref)
+            if batch.num_rows == 0:
+                return pa.table({"dst_host": pa.array([], pa.string()),
+                                 "inmass": pa.array([], pa.int64())})
+            si = np.searchsorted(
+                hv, batch["src_host"].to_numpy(zero_copy_only=False))
+            n = batch["n_links"].to_numpy(zero_copy_only=False)
+            r, o = rv[si], ov[si]
+            c = n * (r // o) + (n * (r % o)) // o
+            t = pa.table({"dst_host": batch["dst_host"],
+                          "c": pa.array(c, pa.int64())})
+            agg = t.group_by("dst_host").aggregate([("c", "sum")])
+            return agg.rename_columns(["dst_host", "inmass"])
+
+        inm = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst_host", num_partitions=2)
+            .aggregate(Sum("inmass", alias_name="inmass"))
+            .to_pandas()  # bounded: ≤ nv rows
+        )
+        ranks = np.full(nv, teleport, dtype=np.int64)
+        di = np.searchsorted(hv := hosts, inm["dst_host"].to_numpy(dtype=object))
+        ranks[di] += (DAMP_NUM * inm["inmass"].to_numpy(dtype=np.int64)) // DAMP_DEN
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"host": pa.array(hosts, pa.string()),
+                  "rank": pa.array(ranks, pa.int64())})
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL oracle rendering
+# --------------------------------------------------------------------------
+
+def sql_linkgraph_cte(pages_glob: str) -> str:
+    """CTE chain ``wf → lnk → e → g`` recomputing host_linkgraph: g has
+    (src_host, dst_host, n_links)."""
+    return f"""
+        wf AS (
+          -- the CAST escapes non-UTF8 bytes, so the prefix test is safe
+          -- on every payload; decode() then runs only on gated rows,
+          -- which are valid UTF-8 html by the corpus contract
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{pages_glob}')
+          WHERE text <> ''
+            AND starts_with(CAST(html AS VARCHAR), '<!DOCTYPE')
+        ),
+        lnk AS (
+          SELECT regexp_replace(regexp_replace(url, '^https?://', ''),
+                                '/.*$', '') AS src_host,
+                 unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+          FROM wf
+        ),
+        e AS (
+          SELECT src_host,
+                 CASE WHEN regexp_matches(href, '^https?://')
+                      THEN regexp_replace(regexp_replace(href, '^https?://',
+                                                         ''), '/.*$', '')
+                      ELSE src_host END AS dst_host
+          FROM lnk
+        ),
+        g AS (
+          SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+          FROM e GROUP BY src_host, dst_host
+        )"""
+
+
+def sql_host_linkgraph(pages_glob: str) -> str:
+    return (f"WITH {sql_linkgraph_cte(pages_glob)}\n"
+            "SELECT * FROM g ORDER BY src_host, dst_host")
+
+
+def sql_host_pagerank(pages_glob: str, iters: int = 5) -> str:
+    """Unrolled fixed-point PageRank: r0 → r1 → … → r{iters}, every CTE
+    level the exact integer recurrence the engine iterates."""
+    ctes = [sql_linkgraph_cte(pages_glob)]
+    ctes.append("""
+        hosts AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM g
+            UNION SELECT dst_host FROM g)
+        ),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM hosts),
+        outd AS (
+          SELECT src_host, CAST(sum(n_links) AS BIGINT) AS outn
+          FROM g GROUP BY src_host
+        ),
+        r0 AS (
+          SELECT h.host, {scale} // c.nv AS rank FROM hosts h CROSS JOIN c
+        )""".format(scale=SCALE))
+    step = """
+        r{t1} AS (
+          SELECT h.host,
+                 ({tdn} * ({scale} // c.nv)) // {dd}
+                 + ({dn} * COALESCE(s.inmass, 0)) // {dd} AS rank
+          FROM hosts h CROSS JOIN c LEFT JOIN (
+            SELECT g.dst_host AS host,
+                   CAST(sum(g.n_links * (r.rank // o.outn)
+                        + (g.n_links * (r.rank % o.outn)) // o.outn)
+                        AS BIGINT) AS inmass
+            FROM g
+            JOIN r{t} r ON g.src_host = r.host
+            JOIN outd o ON g.src_host = o.src_host
+            GROUP BY g.dst_host) s ON s.host = h.host
+        )"""
+    for t in range(iters):
+        ctes.append(step.format(t=t, t1=t + 1, scale=SCALE,
+                                dn=DAMP_NUM, dd=DAMP_DEN,
+                                tdn=DAMP_DEN - DAMP_NUM))
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT host, CAST(rank AS BIGINT) AS rank FROM r{iters} "
+            "ORDER BY host")

@@ -282,3 +282,95 @@ def trigram_familiarity(
     model = train_trigram_model(ds, text_col, min_count, num_partitions)
     return score_trigram_model(ds, model, id_col, text_col, num_partitions,
                                plan=plan)
+
+
+BUCKET_LABELS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def familiarity_buckets(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = MIN_COUNT,
+    num_partitions: int = 8,
+) -> Dataset:
+    """CCNet's head/middle/tail corpus split, exact: score every doc with
+    the integer familiarity contract, reduce to ``ppm = (hit_sum *
+    1_000_000) // n_grams`` (-1 when the doc has no grams), and assign
+    EXACT terciles by (ppm DESC, id) with ops/ranking's no-global-sort
+    NTILE — bucket 'head' = most familiar third (CCNet keeps 'head' +
+    'middle' for training). Dataset(id, ppm, bucket).
+
+    One derived integer sort key → the DuckDB oracle is a plain
+    NTILE(3) OVER (ORDER BY -ppm, id) recompute."""
+    from .ranking import global_rank_ntile
+
+    scored = trigram_familiarity(ds, id_col, text_col, min_count,
+                                 num_partitions)
+
+    def key(batch: pa.Table) -> pa.Table:
+        ng = batch["n_grams"].to_numpy(zero_copy_only=False)
+        hs = batch["hit_sum"].to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        ppm = np.full(len(ng), -1, dtype=np.int64)
+        nz = ng > 0
+        ppm[nz] = (hs[nz] * 1_000_000) // ng[nz]
+        return pa.table({id_col: batch[id_col],
+                         "negppm": pa.array(-ppm, pa.int64())})
+
+    ranked = global_rank_ntile(
+        scored.map_batches(key, batch_format="pyarrow"),
+        key_col="negppm", id_col=id_col, k=3,
+        num_partitions=num_partitions,
+    )
+
+    labels = pa.array([BUCKET_LABELS[i] for i in (1, 2, 3)], pa.string())
+
+    def out(batch: pa.Table) -> pa.Table:
+        ppm = pc.multiply(batch["negppm"], pa.scalar(-1, pa.int64()))
+        bucket = labels.take(pc.subtract(batch["ntile"],
+                                         pa.scalar(1, pa.int64())))
+        return pa.table({id_col: batch[id_col], "ppm": ppm,
+                         "bucket": bucket})
+
+    return ranked.map_batches(out, batch_format="pyarrow")
+
+
+def sql_familiarity_buckets(table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            min_count: int = MIN_COUNT) -> str:
+    """DuckDB recompute: the trigram_lm_score chain + ppm + NTILE(3)."""
+    return f"""
+        WITH toks AS (
+          SELECT {id_col},
+                 string_split_regex(trim(coalesce({text_col}, '')), '\\s+') AS ws
+          FROM {table}
+        ),
+        grams AS (
+          SELECT {id_col}, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+          FROM toks, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+        ),
+        model AS (
+          SELECT gram, CAST(count(*) AS BIGINT) AS c
+          FROM grams GROUP BY gram HAVING count(*) >= {min_count}
+        ),
+        hits AS (
+          SELECT g.{id_col}, count(*) AS n_grams,
+                 coalesce(sum(m.c), 0) AS hit_sum
+          FROM grams g LEFT JOIN model m USING (gram) GROUP BY g.{id_col}
+        ),
+        ppms AS (
+          SELECT d.{id_col},
+                 CASE WHEN coalesce(h.n_grams, 0) = 0 THEN -1
+                      ELSE (h.hit_sum * 1000000) // h.n_grams
+                 END AS ppm
+          FROM {table} d LEFT JOIN hits h USING ({id_col})
+        )
+        SELECT {id_col}, CAST(ppm AS BIGINT) AS ppm,
+               CASE NTILE(3) OVER (ORDER BY -ppm, {id_col})
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM ppms
+    """

@@ -106,14 +106,28 @@ def _nav_html(rng: random.Random) -> str:
     return f'<div class="nav">{links}</div>'
 
 
-def _footer_html(rng: random.Random) -> str:
+def _footer_html(rng: random.Random, url: str = "") -> str:
     links = "".join(
         f'<a href="/f/{w.lower()}">{w}</a> ' for w in rng.sample(_NAV_LINKS, 5)
+    )
+    # v9: three ABSOLUTE cross-host links (the web-graph fixture for
+    # ops/linkgraph.py). Drawn from a url-derived rng so the page's main
+    # rng stream — and therefore every golden — is untouched; targets are
+    # quadratically skewed toward low portal numbers so the host graph has
+    # hubs (hot in-degree) for PageRank / skew tests to bite on.
+    xrng = random.Random(f"xlinks:{url}")
+    xlinks = "".join(
+        '<a href="https://portal{j}.example.pa/{w}">{t}</a> '.format(
+            j=int(40 * xrng.random() ** 2),
+            w=(w := xrng.choice(_NAV_LINKS)).lower(),
+            t=w,
+        )
+        for _ in range(3)
     )
     # the short no-link copyright line after a linky block stays NEAR →
     # dropped (tests the isolated-short-paragraph rule)
     return (
-        f'<div class="footer">{links}</div>'
+        f'<div class="footer">{links}{xlinks}</div>'
         f"<div><p>Derechos reservados 2025</p></div>"
     )
 
@@ -285,7 +299,7 @@ def _compose_page(rng: random.Random, url: str, body_scale: int = 1):
         if k > 0:
             body.append(f"<div><p>{separators[k - 1]}</p></div>")
         body.append(f'<div class="oficio">{ofc.html()}</div>')
-    body.append(_footer_html(rng))
+    body.append(_footer_html(rng, url))
 
     html = (
         "<!DOCTYPE html><html><head><title>Portal Judicial</title>"
@@ -620,7 +634,8 @@ def split_offsets_by_url(pages_t: pa.Table, n_files: int) -> list[tuple[int, int
 CACHE_ROOT = os.environ.get("OCR_SAM_RAY_CORPUS_DIR", "/tmp/ocr_sam_ray_corpus")
 
 # bump when generator output changes so stale caches are never read
-CORPUS_VERSION = "v8"  # v8 = REAL PDF payloads (pdf_build.py) + real image bytes
+# v8 = REAL PDF payloads (pdf_build.py) + real image bytes
+CORPUS_VERSION = "v9"  # v9 = cross-host footer links (web-graph fixture)
 
 # pages per scale tier (sf names mirror /root/testdata convention); bench
 # tiers use body_scale>1 (larger pages) so compute dominates fixed costs

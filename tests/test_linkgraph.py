@@ -1,0 +1,150 @@
+"""Link extraction + host graph + fixed-point PageRank: extraction
+semantics on hand-built pages (gates, absolute vs relative hrefs),
+hand-computed PageRank on a tiny graph, mass/ordering invariants, the
+DuckDB oracle parity of both renderers, and the max_hosts guard."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_sam_project_ray.ops.linkgraph import (
+    DAMP_DEN, DAMP_NUM, SCALE,
+    extract_links, host_linkgraph, host_pagerank,
+    sql_host_linkgraph, sql_host_pagerank,
+)
+
+
+def _pages_table():
+    rows = [
+        # a.example: 2 links to b (1 abs, 1 rel->self? no: rel -> a), 1 to c
+        ("https://a.example/p1",
+         b'<!DOCTYPE html><a href="https://b.example/x">b</a>'
+         b'<a href="/rel">self</a><a href="https://c.example/y">c</a>',
+         "ok"),
+        # second a page: one more link to b
+        ("https://a.example/p2",
+         b'<!DOCTYPE html><a href="https://b.example/z">b</a>', "ok"),
+        # b links to a
+        ("https://b.example/p",
+         b'<!DOCTYPE html><a href="http://a.example/w">a</a>', "ok"),
+        # malformed: text empty -> no links even though hrefs present
+        ("https://junk.example/p",
+         b'<!DOCTYPE html><a href="https://a.example/x">a</a>', ""),
+        # PDF payload: text set but not html -> gated out by the sniff
+        ("https://pdf.example/p", b"%PDF-1.4 junk", "pdf text"),
+        # invalid utf-8 with empty text (the malformed-page shape)
+        ("https://bad.example/p", bytes([0xC3, 0x28, 0xFF, 0x80]), ""),
+    ]
+    return pa.table({
+        "url": pa.array([r[0] for r in rows], pa.string()),
+        "html": pa.array([r[1] for r in rows], pa.binary()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+EXPECTED_EDGES = {
+    ("a.example", "b.example"): 2,
+    ("a.example", "a.example"): 1,
+    ("a.example", "c.example"): 1,
+    ("b.example", "a.example"): 1,
+}
+
+
+def test_extract_links_semantics():
+    ds = ray.data.from_arrow(_pages_table())
+    rows = extract_links(ds).to_pandas()
+    got = rows.groupby(["src_host", "dst_host"]).size().to_dict()
+    assert got == EXPECTED_EDGES
+
+
+def test_host_linkgraph_aggregation():
+    ds = ray.data.from_arrow(_pages_table())
+    df = host_linkgraph(ds, num_partitions=2).to_pandas()
+    got = {(r.src_host, r.dst_host): r.n_links for r in df.itertuples()}
+    assert got == EXPECTED_EDGES
+
+
+def _ref_pagerank(edges, iters):
+    """Independent driver-side implementation of the integer contract."""
+    hosts = sorted({h for e in edges for h in e})
+    out = {h: 0 for h in hosts}
+    for (s, _), n in edges.items():
+        out[s] += n
+    nv = len(hosts)
+    base = SCALE // nv
+    tel = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN
+    r = {h: base for h in hosts}
+    for _ in range(iters):
+        inm = {h: 0 for h in hosts}
+        for (s, d), n in edges.items():
+            inm[d] += n * (r[s] // out[s]) + (n * (r[s] % out[s])) // out[s]
+        r = {h: tel + (DAMP_NUM * inm[h]) // DAMP_DEN for h in hosts}
+    return r
+
+
+@pytest.mark.parametrize("iters", [1, 3, 5])
+def test_pagerank_matches_reference_kernel(iters):
+    ds = ray.data.from_arrow(_pages_table())
+    df = host_pagerank(ds, iters=iters, num_partitions=2).to_pandas()
+    got = dict(zip(df.host, df["rank"]))
+    assert got == _ref_pagerank(EXPECTED_EDGES, iters)
+
+
+def test_pagerank_invariants():
+    ds = ray.data.from_arrow(_pages_table())
+    df = host_pagerank(ds, iters=5, num_partitions=2).to_pandas()
+    # integer mass never exceeds the initial total (dangling mass drops,
+    # integer floors only lose mass)
+    assert df["rank"].sum() <= SCALE
+    assert (df["rank"] > 0).all()
+    # b receives 2/4 of a's mass plus nothing else -> strictly the
+    # most-linked non-self host; a receives b's whole mass -> a and b
+    # both outrank the single-inlink c
+    ranks = dict(zip(df.host, df["rank"]))
+    assert ranks["c.example"] < ranks["b.example"]
+    assert ranks["c.example"] < ranks["a.example"]
+
+
+def test_sql_parity_on_fixture(tmp_path):
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "pages.parquet"
+    pq.write_table(_pages_table(), p)
+    con = duckdb.connect()
+    exp_g = con.sql(sql_host_linkgraph(str(p))).df()
+    got_g = (
+        host_linkgraph(ray.data.from_arrow(_pages_table()), num_partitions=2)
+        .to_pandas().sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+    )
+    assert got_g.equals(exp_g[["src_host", "dst_host", "n_links"]])
+
+    exp_r = con.sql(sql_host_pagerank(str(p), iters=4)).df()
+    got_r = (
+        host_pagerank(ray.data.from_arrow(_pages_table()), iters=4,
+                      num_partitions=2)
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    )
+    assert got_r.equals(exp_r[["host", "rank"]])
+
+
+def test_max_hosts_guard():
+    ds = ray.data.from_arrow(_pages_table())
+    with pytest.raises(ValueError, match="max_hosts"):
+        host_pagerank(ds, iters=1, max_hosts=2)
+
+
+def test_contrib_split_is_exact():
+    # n*(r//o) + (n*(r%o))//o == (n*r)//o for values where n*r fits
+    rng = np.random.default_rng(7)
+    n = rng.integers(1, 1000, 500)
+    r = rng.integers(0, SCALE, 500)
+    o = rng.integers(1, 10**9, 500)
+    lhs = n * (r // o) + (n * (r % o)) // o
+    rhs = [(int(a) * int(b)) // int(c) for a, b, c in zip(n, r, o)]
+    # the split may round DOWN once more than the fused form (two floors);
+    # assert it never differs by more than 1 unit and never exceeds it
+    diff = np.array(rhs) - lhs
+    assert (diff >= 0).all() and (diff <= 1).all()

@@ -139,3 +139,44 @@ def test_partition_invariance(parts):
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_familiarity_buckets():
+    from ocr_sam_project_ray.ops.ngram_lm import (
+        familiarity_buckets, sql_familiarity_buckets,
+    )
+
+    # 9 docs so terciles are exact thirds; repetition-heavy docs score high
+    tbl = pa.table(
+        {
+            "doc_id": list(range(1, 10)),
+            "text": [
+                "a b c " * 10,          # maximal familiarity
+                "a b c a b c",
+                "a b c x y z",
+                "p q r p q r p q r",
+                "p q r s t u",
+                "unique one two three",
+                "",                      # no grams -> ppm -1 -> tail
+                None,
+                "x",
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = (
+        con.sql(sql_familiarity_buckets(min_count=2))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        familiarity_buckets(ray.data.from_arrow(tbl), min_count=2,
+                            num_partitions=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["doc_id", "ppm", "bucket"]],
+                                  exp[["doc_id", "ppm", "bucket"]])
+    # semantic pins: 3 docs per bucket; gramless docs land in tail
+    assert got["bucket"].value_counts().to_dict() == {
+        "head": 3, "middle": 3, "tail": 3}
+    assert set(got.loc[got.ppm == -1, "bucket"]) == {"tail"}
