@@ -344,6 +344,43 @@ def _q_dedup_docs_exact(sf_dir: str):
     return ds.select_columns(["doc_id", "content_fp"]).to_pandas().reset_index(drop=True)
 
 
+def _q_dedup_docs_norm(sf_dir: str):
+    """Normalization-keyed exact dedup (ops/normalize.py): the corpus is
+    decorated with case/whitespace variant rows (doc_id + 1e6, SQL-
+    reproducible transforms) that byte-exact dedup would keep but
+    normalized dedup must collapse; survivors keep the min doc_id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_sam_project_ray.ops.normalize import dedup_exact_normalized
+
+    def variants(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"]
+        txt = pc.fill_null(pc.cast(batch["text"], pa.string()), "")
+        m = pc.cast(pc.bit_wise_and(d, pa.scalar(3, pa.int64())), pa.int64())
+        v = pc.if_else(
+            pc.equal(m, 0), pc.utf8_upper(txt),
+            pc.if_else(
+                pc.equal(m, 1),
+                pc.replace_substring(txt, pattern=" ", replacement="  "),
+                pc.binary_join_element_wise("  ", txt, " \t", ""),
+            ),
+        )
+        vid = pc.add(d, pa.scalar(1_000_000, pa.int64()))
+        return pa.concat_tables([
+            pa.table({"doc_id": d, "text": txt}),
+            pa.table({"doc_id": vid, "text": v}),
+        ])
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        variants, batch_format="pyarrow")
+    out = dedup_exact_normalized(ds, num_partitions=4)
+    return (
+        out.select_columns(["doc_id"]).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_ngram_jaccard_pairs(sf_dir: str):
     from ocr_sam_project_ray.ops.dedup_text import ngram_jaccard_pairs
 
@@ -881,6 +918,18 @@ def _q_host_pagerank(sf_dir: str):
     )
 
 
+def _q_anchor_terms(sf_dir: str):
+    """Per-host inbound anchor-text term counts (ops/linkgraph.py);
+    oracle re-extracts tags + tokenizes with the same contract."""
+    from ocr_sam_project_ray.ops.linkgraph import anchor_terms
+
+    return (
+        anchor_terms(_pages_full(sf_dir))
+        .to_pandas().sort_values(["dst_host", "term"])
+        .reset_index(drop=True)
+    )
+
+
 _HOST_QUOTA_N = 40
 
 
@@ -981,6 +1030,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_docs_exact": _q_dedup_docs_exact,
+        # * dedup_docs_norm: round-3 normalization-keyed exact dedup
+        #   (ops/normalize.py); variant-decorated window oracle below,
+        #   pytest-certified (test_normalize).
+        "dedup_docs_norm": _q_dedup_docs_norm,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "near_dup_verified": _q_near_dup_verified,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1064,6 +1117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (test_linkgraph).
         "host_linkgraph": _q_host_linkgraph,
         "host_pagerank": _q_host_pagerank,
+        # * anchor_terms: round-3 inbound anchor-text host profiles
+        #   (ops/linkgraph.py); tag re-extraction oracle below,
+        #   pytest-certified (test_linkgraph).
+        "anchor_terms": _q_anchor_terms,
         # * host_quota: round-3 per-host document cap (ops/hostquota.py);
         #   QUALIFY window oracle below, pytest-certified (test_hostquota).
         "host_quota": _q_host_quota,
@@ -1101,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
     _pii_expr, _pii_counts = sql_rules("extracted_text")
     _url_canon, _url_host, _url_ntr = sql_canonicalize("raw_url")
     from ocr_sam_project_ray.ops.linkgraph import (
+        sql_anchor_terms as _sql_anchor_terms,
         sql_host_linkgraph as _sql_host_linkgraph,
         sql_host_pagerank as _sql_host_pagerank,
     )
@@ -1215,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_linkgraph": _sql_host_linkgraph(pages),
         "host_pagerank": _sql_host_pagerank(pages, 5),
+        "anchor_terms": _sql_anchor_terms(pages),
         "host_quota": _sql_host_quota.format(pages=pages, n=_HOST_QUOTA_N),
         "lm_buckets": _sql_lm_buckets(),
         "url_canonical": f"""
@@ -1395,6 +1454,9 @@ def _ops_oracles() -> dict[str, str]:
         f"list_distinct(list_transform(generate_series(1, len({toks}) - 2), "
         f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
     )
+    from ocr_sam_project_ray.ops.normalize import sql_normalize_expr
+
+    _norm_sql = sql_normalize_expr("text")
 
     return {
         "text_token_stats": f"""
@@ -1450,6 +1512,26 @@ def _ops_oracles() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        """,
+        "dedup_docs_norm": f"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ),
+            var AS (
+              SELECT b.doc_id + 1000000 AS doc_id,
+                     CASE b.doc_id % 4
+                       WHEN 0 THEN upper(b.text)
+                       WHEN 1 THEN replace(b.text, ' ', '  ')
+                       ELSE '  ' || b.text || ' ' || chr(9)
+                     END AS text
+              FROM base b
+            ),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM var)
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY md5({_norm_sql}) ORDER BY doc_id) AS rn
+              FROM u)
+            WHERE rn = 1 ORDER BY doc_id
         """,
         "near_dup_verified": f"""
             WITH g AS (SELECT doc_id, {grams} AS s FROM documents)

@@ -143,26 +143,42 @@ def host_pagerank(
     max_hosts: int = MAX_HOSTS,
 ) -> Dataset:
     """pages → Dataset(host, rank): ``iters`` rounds of the fixed-point
-    PageRank contract over the host link graph. Edge table streams; the
-    rank vector is driver-bounded by ``max_hosts`` (raise above)."""
+    PageRank contract over the host link graph.
+
+    Exactly ONE shuffle (inside host_linkgraph — the integer contribution
+    ``n*(r//o) + (n*(r%o))//o`` is not additive in n, so edges must be
+    globally aggregated before the recurrence). Everything after streams:
+    node set, out-degree and each iteration's in-mass are per-block Arrow
+    partials (each pre-collapsed to ≤ |V| rows) folded into the driver's
+    rank vector with ``np.add.at`` — the shuffle-free fold is exact
+    because integer sums commute. Driver state is bounded by ``max_hosts``
+    (raise above, with the pre-aggregate-to-registered-domain remedy)."""
     configure_data_context()
     edges = host_linkgraph(ds, num_partitions=num_partitions).materialize()
 
-    # node set + out-degree: one small aggregation each, driver-bounded
-    outd = (
-        edges.groupby("src_host", num_partitions=2)
-        .aggregate(Sum("n_links", alias_name="out"))
-        .to_pandas()
-    )
-    dsts = (
-        edges.groupby("dst_host", num_partitions=2)
-        .aggregate(Sum("n_links", alias_name="_n"))
-        .to_pandas()
-    )
-    hosts = np.unique(
-        np.concatenate([outd["src_host"].to_numpy(dtype=object),
-                        dsts["dst_host"].to_numpy(dtype=object)])
-    )
+    # node set + out-degree in one streamed pass over per-block partials
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"host": batch["src_host"], "n": batch["n_links"]})
+            .group_by("host").aggregate([("n", "sum")])
+        )
+        dst = pa.table({
+            "host": batch["dst_host"].combine_chunks().unique(),
+        })
+        dst = dst.append_column("n_sum", pa.nulls(dst.num_rows, pa.int64()))
+        return pa.concat_tables([agg.rename_columns(["host", "n_sum"]), dst])
+
+    host_set: set = set()
+    out_map: dict = {}
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        hs = b["host"].to_pylist()
+        ns = b["n_sum"].to_pylist()
+        host_set.update(hs)
+        for hname, n in zip(hs, ns):
+            if n is not None:
+                out_map[hname] = out_map.get(hname, 0) + n
+    hosts = np.array(sorted(host_set), dtype=object)
     nv = len(hosts)
     if nv > max_hosts:
         raise ValueError(
@@ -170,9 +186,8 @@ def host_pagerank(
             "registered domains or raise the bound"
         )
     out = np.zeros(nv, dtype=np.int64)
-    out[np.searchsorted(hosts, outd["src_host"].to_numpy(dtype=object))] = (
-        outd["out"].to_numpy(dtype=np.int64)
-    )
+    for hname, n in out_map.items():
+        out[np.searchsorted(hosts, hname)] = n
 
     base = SCALE // nv
     teleport = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN
@@ -198,15 +213,14 @@ def host_pagerank(
             agg = t.group_by("dst_host").aggregate([("c", "sum")])
             return agg.rename_columns(["dst_host", "inmass"])
 
-        inm = (
-            edges.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst_host", num_partitions=2)
-            .aggregate(Sum("inmass", alias_name="inmass"))
-            .to_pandas()  # bounded: ≤ nv rows
-        )
-        ranks = np.full(nv, teleport, dtype=np.int64)
-        di = np.searchsorted(hv := hosts, inm["dst_host"].to_numpy(dtype=object))
-        ranks[di] += (DAMP_NUM * inm["inmass"].to_numpy(dtype=np.int64)) // DAMP_DEN
+        inmass = np.zeros(nv, dtype=np.int64)
+        for b in edges.map_batches(contrib, batch_format="pyarrow") \
+                      .iter_batches(batch_format="pyarrow"):
+            di = np.searchsorted(
+                hosts, np.asarray(b["dst_host"].to_pylist(), dtype=object))
+            np.add.at(inmass, di,
+                      b["inmass"].to_numpy(zero_copy_only=False))
+        ranks = teleport + (DAMP_NUM * inmass) // DAMP_DEN
 
     import ray.data as rd
 
@@ -298,3 +312,89 @@ def sql_host_pagerank(pages_glob: str, iters: int = 5) -> str:
     return (f"WITH {','.join(ctes)}\n"
             f"SELECT host, CAST(rank AS BIGINT) AS rank FROM r{iters} "
             "ORDER BY host")
+
+
+# --------------------------------------------------------------------------
+# Anchor-text aggregation — "what the web says about a host"
+# --------------------------------------------------------------------------
+
+ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
+_ANCHOR_C = re.compile(ANCHOR_RE)
+
+
+def anchor_terms(ds: Dataset, num_partitions: int = 4) -> Dataset:
+    """pages → Dataset(dst_host, term, n): per-host anchor-text term
+    counts — the inbound-anchor profile search/quality systems attach to
+    hosts. Same well-formed gate and host resolution as extract_links;
+    anchor text is tokenized with the engine-wide contract (trim →
+    lowercase → ``\\s+`` split, empties dropped). Per-batch Arrow
+    combiner → one (dst_host, term) shuffle."""
+    configure_data_context()
+
+    def terms(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(pc.cast(batch["text"], pa.string()), ""),
+            pc.equal(pc.binary_slice(batch["html"], 0, 9), b"<!DOCTYPE"),
+        )
+        batch = batch.filter(pc.fill_null(keep, False))
+        empty = pa.table({"dst_host": pa.array([], pa.string()),
+                          "term": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        html = pc.cast(batch["html"], pa.string()).to_pylist()
+        src = _host_of(batch["url"]).to_pylist()
+        hosts: list[str] = []
+        toks: list[str] = []
+        for s, h in zip(src, html):
+            for href, txt in _ANCHOR_C.findall(h):
+                dst = href.split("/", 3)[2] if _ABS_C.match(href) else s
+                for t in txt.strip().lower().split():
+                    hosts.append(dst)
+                    toks.append(t)
+        if not hosts:
+            return empty
+        t = pa.table({"dst_host": pa.array(hosts, pa.string()),
+                      "term": pa.array(toks, pa.string())})
+        agg = t.group_by(["dst_host", "term"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["dst_host", "term", "n"])
+
+    return (
+        ds.map_batches(terms, batch_format="pyarrow")
+        .groupby(["dst_host", "term"], num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def sql_anchor_terms(pages_glob: str) -> str:
+    return f"""
+        WITH wf AS (
+          SELECT url, decode(html) AS h
+          FROM read_parquet('{pages_glob}')
+          WHERE text <> ''
+            AND starts_with(CAST(html AS VARCHAR), '<!DOCTYPE')
+        ),
+        tags AS (
+          SELECT regexp_replace(regexp_replace(url, '^https?://', ''),
+                                '/.*$', '') AS src_host,
+                 unnest(regexp_extract_all(h,
+                        '<a href="[^"]+">[^<]*</a>')) AS tag
+          FROM wf
+        ),
+        pairs AS (
+          SELECT src_host,
+                 regexp_extract(tag, 'href="([^"]+)"', 1) AS href,
+                 regexp_extract(tag, '>([^<]*)</a>', 1) AS txt
+          FROM tags
+        ),
+        terms AS (
+          SELECT CASE WHEN regexp_matches(href, '^https?://')
+                      THEN regexp_replace(regexp_replace(href, '^https?://',
+                                                         ''), '/.*$', '')
+                      ELSE src_host END AS dst_host,
+                 unnest(string_split_regex(trim(lower(txt)), '\\s+')) AS term
+          FROM pairs WHERE trim(txt) <> ''
+        )
+        SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
+        FROM terms GROUP BY dst_host, term ORDER BY dst_host, term
+    """

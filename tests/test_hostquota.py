@@ -30,11 +30,13 @@ def _oracle(urls, n, tmp_path):
     )
 
 
+@pytest.mark.parametrize("plan_rows", [0, 10**6])  # distributed / driver
 @pytest.mark.parametrize("n", [1, 7, 40, 100])
-def test_matches_window_oracle(n, tmp_path):
+def test_matches_window_oracle(n, plan_rows, tmp_path):
     urls = _urls()
     got = (
-        host_quota(ray.data.from_items([{"url": u} for u in urls]), n)
+        host_quota(ray.data.from_items([{"url": u} for u in urls]), n,
+                   driver_max_rows=plan_rows)
         .to_pandas().sort_values(["host", "host_rank"]).reset_index(drop=True)
     )
     exp = _oracle(urls, n, tmp_path)
@@ -42,12 +44,13 @@ def test_matches_window_oracle(n, tmp_path):
 
 
 def test_hot_host_skew(tmp_path):
-    # one host with 2000 urls, others tiny: the cap must bite exactly
+    # one host with 2000 urls, others tiny: the cap must bite exactly;
+    # forced onto the DISTRIBUTED plan so the 256-cell split is exercised
     urls = [f"https://hot.example/{i:05d}" for i in range(2000)]
     urls += [f"https://cold{j}.example/x" for j in range(5)]
     got = (
         host_quota(ray.data.from_items([{"url": u} for u in urls]), 10,
-                   num_partitions=4)
+                   num_partitions=4, driver_max_rows=0)
         .to_pandas()
     )
     per_host = got.groupby("host").size().to_dict()
@@ -58,14 +61,14 @@ def test_hot_host_skew(tmp_path):
     assert g.equals(exp[["url", "host", "host_rank"]])
 
 
-def test_partition_invariance():
+def test_partition_invariance_and_plan_equality():
     urls = _urls(4, 25)
     a = host_quota(
         ray.data.from_items([{"url": u} for u in urls]).repartition(1), 9
     ).to_pandas().sort_values("url").reset_index(drop=True)
     b = host_quota(
         ray.data.from_items([{"url": u} for u in reversed(urls)])
-        .repartition(7), 9
+        .repartition(7), 9, driver_max_rows=0,  # distributed plan
     ).to_pandas().sort_values("url").reset_index(drop=True)
     assert a.equals(b)
 

@@ -148,3 +148,21 @@ def test_contrib_split_is_exact():
     # assert it never differs by more than 1 unit and never exceeds it
     diff = np.array(rhs) - lhs
     assert (diff >= 0).all() and (diff <= 1).all()
+
+
+def test_anchor_terms(tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.ops.linkgraph import anchor_terms, sql_anchor_terms
+
+    p = tmp_path / "pages.parquet"
+    pq.write_table(_pages_table(), p)
+    con = duckdb.connect()
+    exp = con.sql(sql_anchor_terms(str(p))).df()
+    got = (
+        anchor_terms(ray.data.from_arrow(_pages_table()), num_partitions=2)
+        .to_pandas().sort_values(["dst_host", "term"]).reset_index(drop=True)
+    )
+    assert got.equals(exp[["dst_host", "term", "n"]])
+    # semantic pin: b.example's inbound anchors say 'b' twice
+    assert got.set_index(["dst_host", "term"]).loc[("b.example", "b"), "n"] == 2
