@@ -804,6 +804,65 @@ def _q_weighted_sample(sf_dir: str):
     )
 
 
+def _q_dsir_score(sf_dir: str):
+    """DSIR hashed-n-gram importance weights (ops/dsir.py, Xie et al.
+    2023): one fixed-size fold pass fits target(lang='en') + raw count
+    models, integer micro-nat llr table broadcast once, per-doc int64
+    dot-product scores — zero shuffle end to end."""
+    from ocr_sam_project_ray.ops.dsir import dsir_score
+
+    return (
+        dsir_score(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_fix_mojibake(sf_dir: str):
+    """ftfy-style mojibake repair (ops/mojibake.py): the 94-digraph
+    sequential replace chain, suspect-gated. Decorated like url_canonical:
+    the corpus text (pure ASCII by construction) first gets two per-doc
+    Latin-1-supplement chars appended, then is CORRUPTED through the
+    inverse chain — both engine and oracle, identically — so the repair
+    rules demonstrably fire on driver data; the general encode/decode
+    roundtrip kernel is pytest-certified (test_mojibake)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_sam_project_ray.ops.mojibake import corrupt_chain, repair_mojibake
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        suffix = pa.array(
+            [" " + chr(0xA0 + i % 96) + chr(0xA0 + (i + 7) % 96)
+             for i in ids],
+            pa.string(),
+        )
+        decorated = pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()), suffix, ""
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            corrupt_chain(decorated),
+        )
+
+    ds = _docs(sf_dir).map_batches(corrupt, batch_format="pyarrow")
+    return (
+        repair_mojibake(ds)
+        .select_columns(["doc_id", "text_fixed", "changed"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_top_tokens(sf_dir: str):
+    """Exact corpus-wide top-k frequent tokens (ops/heavy.py): token_df
+    combiner->shuffle, lossless per-block top-k prune, tiny sort-limit
+    merge; ties by token ASC. The CMS scale path (cms_topk) is the
+    bounded-memory variant, pytest-certified in test_heavy."""
+    from ocr_sam_project_ray.ops.heavy import top_tokens
+
+    return top_tokens(_docs(sf_dir), k=20, num_partitions=4).to_pandas()
+
+
 def _q_rep_ngrams(sf_dir: str):
     """Gopher within-doc repetition signals (ops/repetition.py): top/dup
     n-gram counters + integer-ppm duplicate fractions for n in {2,3};
@@ -1136,6 +1195,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/wsample.py); ORDER BY priority LIMIT k oracle below,
         #   pytest-certified (test_wsample).
         "weighted_sample": _q_weighted_sample,
+        # * top_tokens: round-3 exact heavy hitters (ops/heavy.py);
+        #   GROUP BY + row_number oracle below; the count-min-sketch
+        #   scale path is pytest-certified (test_heavy).
+        "top_tokens": _q_top_tokens,
+        # * dsir_score: round-3 DSIR importance weights (ops/dsir.py);
+        #   full SQL recompute below (hashed features + integer llr
+        #   table), pytest-certified (test_dsir).
+        "dsir_score": _q_dsir_score,
+        # * fix_mojibake: round-3 encoding repair (ops/mojibake.py);
+        #   staged replace-chain oracle below (decorated so every digraph
+        #   rule fires), pytest-certified (test_mojibake).
+        "fix_mojibake": _q_fix_mojibake,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -1659,6 +1730,9 @@ def _ops_oracles() -> dict[str, str]:
         "stratified_sample": _stratified_oracle(),
         "rep_ngrams": _repetition_oracle(),
         "weighted_sample": _wsample_oracle(),
+        "top_tokens": _toptokens_oracle(),
+        "dsir_score": _dsir_oracle(),
+        "fix_mojibake": _mojibake_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -1701,6 +1775,28 @@ def _wsample_oracle() -> str:
     from ocr_sam_project_ray.ops.wsample import sql_weighted_sample
 
     return sql_weighted_sample(60)
+
+
+def _toptokens_oracle() -> str:
+    from ocr_sam_project_ray.ops.heavy import sql_top_tokens
+
+    return sql_top_tokens(20)
+
+
+def _dsir_oracle() -> str:
+    from ocr_sam_project_ray.ops.dsir import sql_dsir_score
+
+    return sql_dsir_score()
+
+
+def _mojibake_oracle() -> str:
+    from ocr_sam_project_ray.ops.mojibake import sql_mojibake_query
+
+    decorated = (
+        "(text || ' ' || chr(CAST(160 + doc_id % 96 AS INT)) "
+        "|| chr(CAST(160 + (doc_id + 7) % 96 AS INT)))"
+    )
+    return sql_mojibake_query(text_col=decorated, decorate=True)
 
 
 def _repetition_oracle() -> str:
