@@ -817,6 +817,64 @@ def _q_dsir_score(sf_dir: str):
     )
 
 
+def _q_pmi_topk(sf_dir: str):
+    """Top-k PMI collocations (ops/pmi.py): bigram + unigram combiner
+    groupbys, broadcast unigram table, single-division linear-PMI rank
+    contract (bit-identical doubles, cf. ops/tfidf)."""
+    from ocr_sam_project_ray.ops.pmi import pmi_topk
+
+    return pmi_topk(_docs(sf_dir), k=30, min_count=5,
+                    num_partitions=4).to_pandas()
+
+
+def _q_inverted_index(sf_dir: str):
+    """Sharded inverted index (ops/invindex.py): distinct (token, doc)
+    combiner -> one token-key repartition -> partition-local pyarrow
+    group_by list-agg. Postings rendered as a comma-joined string for
+    the hash compare (list-column repr differs between pandas bridges);
+    the Dataset op itself returns the real list<int64> column."""
+    from ocr_sam_project_ray.ops.invindex import build_inverted_index
+
+    df = (
+        build_inverted_index(_docs(sf_dir), num_partitions=4)
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    df["postings"] = df["postings"].map(
+        lambda v: ",".join(str(int(x)) for x in v)
+    )
+    return df
+
+
+def _q_bpe_pair_counts(sf_dir: str):
+    """Round-1 BPE statistic (ops/bpe_learn.py): adjacent character-pair
+    counts over word occurrences — corpus pass -> word table -> combiner
+    -> one pair-key groupby."""
+    from ocr_sam_project_ray.ops.bpe_learn import bpe_pair_counts
+
+    return (
+        bpe_pair_counts(_docs(sf_dir), num_partitions=4)
+        .to_pandas().sort_values("pair").reset_index(drop=True)
+    )
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Learned BPE merge list (ops/bpe_learn.py, Sennrich 2016) — the
+    iterative merge loop is not SQL-expressible; rows-only here,
+    reference-implementation equality certified in test_bpe_learn."""
+    import pandas as pd
+
+    from ocr_sam_project_ray.ops.bpe_learn import learn_bpe_merges
+
+    merges = learn_bpe_merges(_docs(sf_dir), n_merges=12, num_partitions=4)
+    return pd.DataFrame(
+        {
+            "rank": range(1, len(merges) + 1),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )
+
+
 def _q_fix_mojibake(sf_dir: str):
     """ftfy-style mojibake repair (ops/mojibake.py): the 94-digraph
     sequential replace chain, suspect-gated. Decorated like url_canonical:
@@ -1207,6 +1265,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   staged replace-chain oracle below (decorated so every digraph
         #   rule fires), pytest-certified (test_mojibake).
         "fix_mojibake": _q_fix_mojibake,
+        # * bpe_pair_counts / bpe_merges: round-3 distributed BPE
+        #   tokenizer fitting (ops/bpe_learn.py); pair counts have the
+        #   full SQL recompute below, the iterative merge list is
+        #   rows-only + reference-equality pytest (test_bpe_learn).
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,          # rows-only (iterative)
+        # * inverted_index: round-3 retrieval-index build
+        #   (ops/invindex.py); list-agg oracle below, pytest-certified
+        #   (test_invindex: conjunctive queries, caps, invariance).
+        "inverted_index": _q_inverted_index,
+        # * pmi_topk: round-3 PMI collocation mining (ops/pmi.py);
+        #   single-division rank-parity oracle below, pytest-certified
+        #   (test_pmi).
+        "pmi_topk": _q_pmi_topk,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -1733,6 +1805,9 @@ def _ops_oracles() -> dict[str, str]:
         "top_tokens": _toptokens_oracle(),
         "dsir_score": _dsir_oracle(),
         "fix_mojibake": _mojibake_oracle(),
+        "bpe_pair_counts": _bpe_pairs_oracle(),
+        "inverted_index": _invindex_oracle(),
+        "pmi_topk": _pmi_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -1787,6 +1862,28 @@ def _dsir_oracle() -> str:
     from ocr_sam_project_ray.ops.dsir import sql_dsir_score
 
     return sql_dsir_score()
+
+
+def _pmi_oracle() -> str:
+    from ocr_sam_project_ray.ops.pmi import sql_pmi_topk
+
+    return sql_pmi_topk(k=30, min_count=5)
+
+
+def _invindex_oracle() -> str:
+    from ocr_sam_project_ray.ops.invindex import sql_inverted_index
+
+    inner = sql_inverted_index()
+    return (
+        "SELECT token, df, array_to_string(postings, ',') AS postings "
+        f"FROM ({inner})"
+    )
+
+
+def _bpe_pairs_oracle() -> str:
+    from ocr_sam_project_ray.ops.bpe_learn import sql_bpe_pair_counts
+
+    return sql_bpe_pair_counts()
 
 
 def _mojibake_oracle() -> str:
