@@ -817,6 +817,40 @@ def _q_dsir_score(sf_dir: str):
     )
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Crawl snapshot diff (ops/snapshot_diff.py): payload-free 128-bit
+    fingerprint rows, tag-union + one id-key co-partition, partition-
+    local vectorized classify. Decorated: old = doc_id%3!=0 of the
+    corpus, new = doc_id%4!=0 with text edited for doc_id%5==0 — both
+    engine and oracle, so all four statuses appear on driver data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_sam_project_ray.ops.snapshot_diff import snapshot_diff
+
+    docs = _docs(sf_dir)
+
+    def edit(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        edited = pc.if_else(
+            pa.array(ids % 5 == 0),
+            pc.binary_join_element_wise(
+                pc.cast(batch["text"], pa.string()), " v2", ""),
+            batch["text"],
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", edited)
+
+    old = docs.filter(lambda r: r["doc_id"] % 3 != 0)
+    new = docs.filter(lambda r: r["doc_id"] % 4 != 0).map_batches(
+        edit, batch_format="pyarrow")
+    return (
+        snapshot_diff(old, new, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_pmi_topk(sf_dir: str):
     """Top-k PMI collocations (ops/pmi.py): bigram + unigram combiner
     groupbys, broadcast unigram table, single-division linear-PMI rank
@@ -1279,6 +1313,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   single-division rank-parity oracle below, pytest-certified
         #   (test_pmi).
         "pmi_topk": _q_pmi_topk,
+        # * snapshot_diff: round-3 crawl delta classification
+        #   (ops/snapshot_diff.py); FULL OUTER JOIN oracle below,
+        #   pytest-certified (test_snapshot_diff).
+        "snapshot_diff": _q_snapshot_diff,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -1808,6 +1846,7 @@ def _ops_oracles() -> dict[str, str]:
         "bpe_pair_counts": _bpe_pairs_oracle(),
         "inverted_index": _invindex_oracle(),
         "pmi_topk": _pmi_oracle(),
+        "snapshot_diff": _snapshot_diff_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -1862,6 +1901,17 @@ def _dsir_oracle() -> str:
     from ocr_sam_project_ray.ops.dsir import sql_dsir_score
 
     return sql_dsir_score()
+
+
+def _snapshot_diff_oracle() -> str:
+    from ocr_sam_project_ray.ops.snapshot_diff import sql_snapshot_diff
+
+    old_sql = "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0"
+    new_sql = (
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 4 <> 0"
+    )
+    return sql_snapshot_diff(old_sql, new_sql)
 
 
 def _pmi_oracle() -> str:
