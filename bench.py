@@ -208,6 +208,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     kept.count()
     queries["semdedup_embeddings"] = round(time.time() - t0, 3)
 
+    # DSIR importance scoring over the documents table (fit both hashed
+    # n-gram models in one fold pass, broadcast llr, score every doc)
+    from ocr_sam_project_ray.ops.dsir import dsir_score
+
+    docs_tbl = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    t0 = time.time()
+    dsir_score(docs_tbl).count()
+    queries["dsir_score_docs"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),
