@@ -47,6 +47,12 @@ from .textstats import tokenize
 
 DEFAULT_K = 50
 MIN_COUNT = 5
+# same bound family as tfidf.BROADCAST_MAX_TOKENS: ~50M tokens ≈ a few GB
+# driver dict — above it, fail loudly instead of OOMing silently. (The
+# extension path is tfidf's tag-union co-partitioned apply; collocation
+# mining over a >50M-type vocabulary should pre-prune with min_count
+# pushed into the unigram groupby first.)
+BROADCAST_MAX_TOKENS = 50_000_000
 
 
 def _bigram_counts(ds: Dataset, text_col: str,
@@ -95,6 +101,12 @@ def _unigram_counts(ds: Dataset, text_col: str,
     out: dict[str, int] = {}
     for b in vocab.iter_batches(batch_format="pyarrow"):
         out.update(zip(b["token"].to_pylist(), b["c"].to_pylist()))
+        if len(out) > BROADCAST_MAX_TOKENS:
+            raise ValueError(
+                f"unigram vocabulary exceeds the broadcast bound "
+                f"({BROADCAST_MAX_TOKENS}); see ops/pmi.py docstring for "
+                f"the co-partitioned extension path"
+            )
     return out
 
 
