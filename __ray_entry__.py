@@ -817,6 +817,47 @@ def _q_dsir_score(sf_dir: str):
     )
 
 
+def _q_doc_split(sf_dir: str):
+    """Deterministic train/val/test hash split (ops/split.py): bucket =
+    md5('v1:'||id) first-8-hex mod 100; stateless, shuffle-free,
+    backfill-stable."""
+    from ocr_sam_project_ray.ops.split import hash_split
+
+    return (
+        hash_split(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_doc_split_safe(sf_dir: str):
+    """Leakage-safe split (ops/split.py): near-dup clusters (certified
+    LSH→verify→CC chain) are assigned atomically by hashing the cluster
+    representative — no eval doc has a training-set near-twin. Oracle:
+    recursive-CTE cluster recompute + the identical md5 CASE chain."""
+    from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
+    from ocr_sam_project_ray.ops.split import leakage_safe_split
+
+    docs = _docs(sf_dir)
+    pairs = near_dup_verified(docs, threshold=0.8, num_partitions=4)
+    return (
+        leakage_safe_split(docs, pairs, num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Sliding-window RAG chunking (ops/chunk.py): stateless 1->N
+    map_batches fan-out, window 64 / stride 48, full-coverage integer
+    n_chunks formula shared with the SQL twin."""
+    from ocr_sam_project_ray.ops.chunk import chunk_documents
+
+    return (
+        chunk_documents(_docs(sf_dir))
+        .to_pandas().sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Crawl snapshot diff (ops/snapshot_diff.py): payload-free 128-bit
     fingerprint rows, tag-union + one id-key co-partition, partition-
@@ -1317,6 +1358,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/snapshot_diff.py); FULL OUTER JOIN oracle below,
         #   pytest-certified (test_snapshot_diff).
         "snapshot_diff": _q_snapshot_diff,
+        # * chunk_documents: round-3 RAG sliding-window chunking
+        #   (ops/chunk.py); list-slice oracle below, pytest-certified
+        #   (test_chunk).
+        "chunk_documents": _q_chunk_documents,
+        # * doc_split / doc_split_safe: round-3 deterministic and
+        #   leakage-safe dataset splitting (ops/split.py); md5 CASE and
+        #   recursive-CTE oracles below, pytest-certified (test_split).
+        "doc_split": _q_doc_split,
+        "doc_split_safe": _q_doc_split_safe,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -1729,6 +1779,8 @@ def _ops_oracles() -> dict[str, str]:
             WITH RECURSIVE {_cluster_ctes(grams)}
             SELECT node, component FROM comp
         """,
+        "doc_split": _doc_split_oracle(),
+        "doc_split_safe": _doc_split_safe_oracle(grams),
         "dedup_docs_near_verified": f"""
             WITH RECURSIVE {_cluster_ctes(grams)}
             SELECT doc_id FROM documents
@@ -1847,6 +1899,7 @@ def _ops_oracles() -> dict[str, str]:
         "inverted_index": _invindex_oracle(),
         "pmi_topk": _pmi_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
+        "chunk_documents": _chunk_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -1901,6 +1954,24 @@ def _dsir_oracle() -> str:
     from ocr_sam_project_ray.ops.dsir import sql_dsir_score
 
     return sql_dsir_score()
+
+
+def _doc_split_oracle() -> str:
+    from ocr_sam_project_ray.ops.split import sql_hash_split
+
+    return sql_hash_split()
+
+
+def _doc_split_safe_oracle(grams: str) -> str:
+    from ocr_sam_project_ray.ops.split import sql_leakage_safe_split
+
+    return sql_leakage_safe_split(_cluster_ctes(grams))
+
+
+def _chunk_oracle() -> str:
+    from ocr_sam_project_ray.ops.chunk import sql_chunk_documents
+
+    return sql_chunk_documents()
 
 
 def _snapshot_diff_oracle() -> str:
