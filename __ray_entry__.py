@@ -817,6 +817,21 @@ def _q_dsir_score(sf_dir: str):
     )
 
 
+def _q_lang_token_quantiles(sf_dir: str):
+    """Per-language exact token-count quantiles (ops/grouped_quantiles):
+    per-batch (lang, n_tokens) histogram combiners -> one two-key
+    groupby -> bounded per-group walk; DuckDB quantile_disc rank rule
+    (ceil(q*n)-1) pinned by test_grouped_quantiles."""
+    from ocr_sam_project_ray.ops.grouped_quantiles import (
+        grouped_token_quantiles,
+    )
+
+    return (
+        grouped_token_quantiles(_docs(sf_dir))
+        .sort_values("lang").reset_index(drop=True)
+    )
+
+
 def _q_doc_split(sf_dir: str):
     """Deterministic train/val/test hash split (ops/split.py): bucket =
     md5('v1:'||id) first-8-hex mod 100; stateless, shuffle-free,
@@ -1367,6 +1382,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   recursive-CTE oracles below, pytest-certified (test_split).
         "doc_split": _q_doc_split,
         "doc_split_safe": _q_doc_split_safe,
+        # * lang_token_quantiles: round-3 per-group exact quantiles
+        #   (ops/grouped_quantiles.py); quantile_disc GROUP BY oracle
+        #   below, pytest-certified (test_grouped_quantiles — includes
+        #   the pinned DuckDB rank-rule probe).
+        "lang_token_quantiles": _q_lang_token_quantiles,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
@@ -1781,6 +1801,7 @@ def _ops_oracles() -> dict[str, str]:
         """,
         "doc_split": _doc_split_oracle(),
         "doc_split_safe": _doc_split_safe_oracle(grams),
+        "lang_token_quantiles": _grouped_quantiles_oracle(),
         "dedup_docs_near_verified": f"""
             WITH RECURSIVE {_cluster_ctes(grams)}
             SELECT doc_id FROM documents
@@ -1954,6 +1975,14 @@ def _dsir_oracle() -> str:
     from ocr_sam_project_ray.ops.dsir import sql_dsir_score
 
     return sql_dsir_score()
+
+
+def _grouped_quantiles_oracle() -> str:
+    from ocr_sam_project_ray.ops.grouped_quantiles import (
+        sql_grouped_token_quantiles,
+    )
+
+    return sql_grouped_token_quantiles()
 
 
 def _doc_split_oracle() -> str:

@@ -245,8 +245,11 @@ def token_count_quantiles(
     """EXACT quantiles of the per-doc token-count distribution via a
     distributed histogram: per-batch (n_tokens → count) combiners, one
     small groupby, then a driver walk over the (bounded) distinct-value
-    histogram. quantile_disc semantics: element at index
-    floor((n-1)·q) of the sorted multiset — matching DuckDB exactly."""
+    histogram. quantile_disc semantics: element at 0-based rank
+    ceil(q·n)−1 of the sorted multiset — DuckDB's discrete-quantile rank
+    rule, verified empirically across n and q (test_grouped_quantiles;
+    the earlier floor((n−1)·q) formula coincides at the corpus sizes the
+    oracle runs at but diverges for e.g. n=71, q=0.99)."""
     import pandas as pd
 
     from .textstats import sql_n_tokens, tokenize  # noqa: F401 (sql used by oracle)
@@ -272,10 +275,12 @@ def token_count_quantiles(
         .sort_values("n_tokens")
         .reset_index(drop=True)
     )
+    import math
+
     total = int(hist.n_docs.sum())
     out = {}
     for q in qs:
-        target = int((total - 1) * q)  # floor((n-1)*q), 0-based rank
+        target = max(0, math.ceil(q * total) - 1)  # 0-based rank
         cum = 0
         val = int(hist.n_tokens.iloc[-1]) if len(hist) else 0
         for _, row in hist.iterrows():
