@@ -817,6 +817,25 @@ def _q_dsir_score(sf_dir: str):
     )
 
 
+def _q_approx_nchars_quantiles(sf_dir: str):
+    """Mergeable deterministic quantile sketch (ops/qsketch.py, MRL'98
+    merge-and-prune): one sketch per batch, driver folds fixed-size
+    rows. Rows-only: approximate by construction; rank-error bound
+    certified in test_qsketch (cf. knn_ivf / approx_distinct_users)."""
+    import pandas as pd
+
+    from ocr_sam_project_ray.ops.qsketch import approx_quantiles
+
+    import ray.data as rd
+
+    from ocr_sam_project_ray.context import configure_data_context
+
+    configure_data_context()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["n_chars"])
+    return pd.DataFrame([approx_quantiles(ds, "n_chars", k=256)])
+
+
 def _q_lang_token_quantiles(sf_dir: str):
     """Per-language exact token-count quantiles (ops/grouped_quantiles):
     per-batch (lang, n_tokens) histogram combiners -> one two-key
@@ -1387,6 +1406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   below, pytest-certified (test_grouped_quantiles — includes
         #   the pinned DuckDB rank-rule probe).
         "lang_token_quantiles": _q_lang_token_quantiles,
+        # * approx_nchars_quantiles: round-3 mergeable quantile sketch
+        #   (ops/qsketch.py); rows-only (approximate), rank-error bound
+        #   pytest-certified (test_qsketch).
+        "approx_nchars_quantiles": _q_approx_nchars_quantiles,
         "distinct_event_types": _q_distinct_event_types,
         "events_json_k": _q_events_json_k,
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)

@@ -20,12 +20,18 @@ Contract (what the DuckDB oracle recomputes exactly):
 - keep bigrams with c_xy >= min_count (collocation practice: rare pairs
   have degenerate PMI); top-k by (score DESC, gram ASC), rank 1-based.
 
-Scale shape: bigram and unigram tables are each a per-batch Counter
-combiner -> ONE key groupby (the token_df shape). The unigram table is
-vocabulary-bounded and broadcast once (``ray.put``); scoring + lossless
-per-block top-k pruning happen inside map_batches over the bigram table,
-and only k rows per block reach the final tiny sort-limit (the
-ops/heavy.top_tokens merge shape).
+Scale shape: ONE corpus read, ONE tokenization pass and ONE key shuffle
+build BOTH count tables (each batch emits prefix-keyed unigram 'u<tok>'
+and bigram 'b<x> <y>' partial counts into a single groupby). At sandbox
+scale this is wall-time-equivalent to the naive two-pass (~6.6 s at
+sf0.1/32cpu — the combiner, not the read, dominates there), but it
+halves input IO and tokenization, which is what matters when the read
+is 100 TB of parquet. The unigram table is
+vocabulary-bounded and broadcast once (``ray.put``, loud error past
+``BROADCAST_MAX_TOKENS``); scoring + lossless per-block top-k pruning
+happen inside map_batches over the bigram table, and only k rows per
+block reach the final tiny sort-limit (the ops/heavy.top_tokens merge
+shape).
 
 The reference has no corpus statistics (one document per Lambda);
 beyond-reference training-data op.
@@ -55,59 +61,67 @@ MIN_COUNT = 5
 BROADCAST_MAX_TOKENS = 50_000_000
 
 
-def _bigram_counts(ds: Dataset, text_col: str,
-                   num_partitions: int) -> Dataset:
+def _fused_counts(
+    ds: Dataset, text_col: str, num_partitions: int,
+) -> tuple[Dataset, dict[str, int]]:
+    """ONE tokenization pass and ONE key shuffle for both statistics:
+    each batch emits its unigram counts under key 'u<token>' and its
+    bigram counts under 'b<x> <y>' (tokens never start with a reserved
+    marker because the keys are PREFIXED, not the tokens), one groupby
+    sums them, and the result splits back into the bigram Dataset and
+    the (bounded, broadcastable) unigram dict."""
+    import pyarrow.compute as pc
+
     def partial(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
         for text in batch[text_col].to_pylist():
             toks = tokenize(text)
+            counts.update("u" + t for t in toks)
             counts.update(
-                f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+                f"b{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
             )
-        grams = list(counts.keys())
+        keys = list(counts.keys())
         return pa.table(
             {
-                "gram": pa.array(grams, pa.string()),
-                "c_xy": pa.array([counts[g] for g in grams], pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "c": pa.array([counts[k] for k in keys], pa.int64()),
             }
         )
 
-    return (
+    folded = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("gram", num_partitions=num_partitions)
-        .aggregate(Sum("c_xy", alias_name="c_xy"))
-    )
-
-
-def _unigram_counts(ds: Dataset, text_col: str,
-                    num_partitions: int) -> dict[str, int]:
-    def partial(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        for text in batch[text_col].to_pylist():
-            counts.update(tokenize(text))
-        toks = list(counts.keys())
-        return pa.table(
-            {
-                "token": pa.array(toks, pa.string()),
-                "c": pa.array([counts[t] for t in toks], pa.int64()),
-            }
-        )
-
-    vocab = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("token", num_partitions=num_partitions)
+        .groupby("key", num_partitions=num_partitions)
         .aggregate(Sum("c", alias_name="c"))
+        .materialize()
     )
-    out: dict[str, int] = {}
-    for b in vocab.iter_batches(batch_format="pyarrow"):
-        out.update(zip(b["token"].to_pylist(), b["c"].to_pylist()))
-        if len(out) > BROADCAST_MAX_TOKENS:
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.starts_with(batch["key"], "b")
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "gram": pc.utf8_slice_codeunits(kept["key"], 1),
+                "c_xy": kept["c"],
+            }
+        )
+
+    bigrams = folded.map_batches(bigram_rows, batch_format="pyarrow")
+
+    uni: dict[str, int] = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        mask = pc.starts_with(b["key"], "u")
+        kept = b.filter(mask)
+        uni.update(
+            zip(pc.utf8_slice_codeunits(kept["key"], 1).to_pylist(),
+                kept["c"].to_pylist())
+        )
+        if len(uni) > BROADCAST_MAX_TOKENS:
             raise ValueError(
                 f"unigram vocabulary exceeds the broadcast bound "
                 f"({BROADCAST_MAX_TOKENS}); see ops/pmi.py docstring for "
                 f"the co-partitioned extension path"
             )
-    return out
+    return bigrams, uni
 
 
 def pmi_topk(
@@ -117,9 +131,8 @@ def pmi_topk(
     """Top-k collocations -> driver Arrow table (exactly <= k rows):
     (rank, gram, c_xy, c_x, c_y, score)."""
     configure_data_context()
-    uni = _unigram_counts(ds, text_col, num_partitions)
+    bigrams, uni = _fused_counts(ds, text_col, num_partitions)
     uni_ref = ray.put(uni)
-    bigrams = _bigram_counts(ds, text_col, num_partitions)
 
     def score_and_prune(batch: pa.Table) -> pa.Table:
         u = ray.get(uni_ref)
