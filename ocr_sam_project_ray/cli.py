@@ -113,6 +113,8 @@ def cmd_curate(args) -> int:
         near_threshold=args.near_threshold,
         num_partitions=args.partitions,
         line_dedup=args.line_dedup,
+        repair_encoding=args.repair_encoding,
+        assign_split=args.assign_split,
     )
     metrics["wall_time_s"] = round(time.time() - t0, 2)
     print(json.dumps(metrics))
@@ -154,6 +156,11 @@ def main(argv=None) -> int:
             sp.add_argument("--near-threshold", type=float, default=0.7)
             sp.add_argument("--line-dedup", action="store_true",
                             help="add the C4 corpus-global line strip")
+            sp.add_argument("--repair-encoding", action="store_true",
+                            help="prepend ftfy-style mojibake chain repair")
+            sp.add_argument("--assign-split", action="store_true",
+                            help="append train/val/test columns and "
+                                 "partition the output by split")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -84,6 +84,8 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     line_dedup: bool = False,
+    repair_encoding: bool = False,
+    assign_split: bool = False,
 ) -> dict:
     """Run the full curation chain; write partitioned parquet to ``out_dir``
     (or leave unwritten if None) and return per-stage metrics:
@@ -91,18 +93,37 @@ def curate_corpus(
     [after_line_dedup] / after_decontam / rows_out plus the LSH hot-bucket
     skip counters. ``line_dedup=True`` adds the C4 corpus-global line strip
     after near-dedup (rewrites ``text_col``; docs left with zero lines are
-    dropped, C4-style)."""
+    dropped, C4-style). ``repair_encoding=True`` prepends the mojibake
+    chain repair (ops/mojibake — suspect-gated, so clean corpora pay one
+    vectorized scan); ``assign_split=True`` appends deterministic
+    train/val/test columns (ops/split) and, when writing, partitions the
+    parquet output by split (train/val/test directories — the layout a
+    training job consumes directly)."""
     configure_data_context()
     counter = StageCounts.remote()
     lsh_stats = LshDropStats.remote()
 
     cur = _tap(ds, "rows_in", counter)
+    if repair_encoding:
+        from ..ops.mojibake import repair_chain_array
+
+        def repair(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index(text_col), text_col,
+                repair_chain_array(batch[text_col]),
+            )
+
+        # in-place rewrite: no rows added/dropped, so no tap stage
+        cur = cur.map_batches(repair, batch_format="pyarrow")
     cur = _tap(filter_quality(cur, text_col=text_col), "after_quality", counter)
     cur = _tap(
         dedup_exact(cur, id_col=id_col, text_col=text_col,
                     num_partitions=num_partitions),
         "after_exact_dedup", counter,
     )
+    # content_fp is dedup_exact's internal key — drop it here so it never
+    # rides through the near-dup chain or into the written corpus
+    cur = cur.drop_columns(["content_fp"])
     # the near-dup chain consumes its input TWICE (LSH pair generation +
     # the loser anti-join). Checkpoint once into object-store blocks
     # (spillable) so (a) quality+dedup aren't recomputed for the second
@@ -139,8 +160,26 @@ def curate_corpus(
             "after_decontam", counter,
         )
 
+    if assign_split:
+        from ..ops.split import DEFAULT_SALT, _bucket, split_of
+
+        def add_split(batch: pa.Table) -> pa.Table:
+            buckets = [_bucket(f"{DEFAULT_SALT}:{i}")
+                       for i in batch[id_col].to_pylist()]
+            return batch.append_column(
+                "bucket", pa.array(buckets, pa.int64())
+            ).append_column(
+                "split",
+                pa.array([split_of(b) for b in buckets], pa.string()),
+            )
+
+        cur = cur.map_batches(add_split, batch_format="pyarrow")
+
     if out_dir is not None:
-        cur.write_parquet(out_dir)
+        if assign_split:
+            cur.write_parquet(out_dir, partition_cols=["split"])
+        else:
+            cur.write_parquet(out_dir)
     else:
         cur.materialize()
 

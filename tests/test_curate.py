@@ -96,3 +96,44 @@ def test_curate_with_line_dedup(tmp_path):
     assert texts[0] == GOOD + "\n" + footer
     assert texts[3] == GOOD2
     assert texts[6] == GOOD3
+
+
+def test_curate_with_repair_and_split(tmp_path):
+    """Opt-in encoding repair rewrites mojibake before quality scoring;
+    assign_split partitions the output into split= directories."""
+    # genuine mojibake: utf-8 bytes of 'quíck' read as latin-1
+    corrupted = GOOD.replace(
+        "quick", "quíck".encode("utf-8").decode("latin-1"))
+    rows = {
+        0: corrupted,
+        3: GOOD2,
+        6: GOOD3 + " and the stories those pages still tell",  # >=50 words
+    }
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(rows), "text": list(rows.values())})
+    )
+    out = str(tmp_path / "curated_rs")
+    m = curate_corpus(ds, out, near_threshold=0.7, num_partitions=2,
+                      repair_encoding=True, assign_split=True)
+    assert m["rows_out"] == 3
+    # split= partition directories exist and carry all rows
+    dirs = glob.glob(os.path.join(out, "split=*"))
+    assert dirs, "expected split-partitioned output"
+    got = pq.read_table(out).to_pydict()
+    assert len(got["doc_id"]) == 3
+    texts = dict(zip(got["doc_id"], got["text"]))
+    assert "quíck" in texts[0] and "Ã" not in texts[0]  # repaired
+    # split assignment matches the standalone op
+    from ocr_sam_project_ray.ops.split import hash_split
+
+    want = (
+        hash_split(ds).to_pandas().set_index("doc_id").split.to_dict()
+    )
+    # partition column may come back as category/str per file; normalize
+    splits = {}
+    for d in dirs:
+        name = os.path.basename(d).split("=", 1)[1]
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            for i in pq.read_table(f).to_pydict()["doc_id"]:
+                splits[i] = name
+    assert splits == want
