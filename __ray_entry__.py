@@ -766,6 +766,69 @@ def _q_tfidf_topk(sf_dir: str):
     )
 
 
+# BM25 driver queries — distinct terms drawn from the synthetic documents
+# vocabulary so every query matches; qid = list index (ops/bm25.py).
+BM25_QUERIES = [
+    "table scan fast",
+    "window agg join",
+    "hash merge sort",
+    "spark row column value",
+]
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-k retrieval (ops/bm25.py) — exact integer-rational
+    contract (k1=3/2, b=3/4 clear to integer ratios; linear-idf
+    surrogate; per-term contributions are single correctly-rounded IEEE
+    sequences summed as integers, so DuckDB recomputes score_ppm
+    bit-exactly). Broadcast query stats, streaming one-pass scoring,
+    per-query distributed top-k merge."""
+    from ocr_sam_project_ray.ops.bm25 import bm25_topk
+
+    return (
+        bm25_topk(_docs(sf_dir), BM25_QUERIES, k=10)
+        .to_pandas().reset_index(drop=True)
+    )
+
+
+def _q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: BM25 (documents.text) + embedding knn
+    (embeddings, vec_id is the doc key; query vectors = vec_id 100..103
+    remapped to qid 0..3) fused by reciprocal-rank fusion (ops/bm25.py,
+    Cormack et al. 2009). Contribution = floor(1e9/(60+rank)+0.5) —
+    exact integer division, SQL-recomputable. The knn side is re-ranked
+    by its exported 6-dp-rounded sim (tie-break vec_id): rounded sims
+    are the cross-engine-identical surface the knn_cosine oracle
+    already certifies. Fusion consumes two bounded top-k lists
+    (systems x queries x k rows) — driver-side by contract."""
+    import pyarrow as pa
+
+    from ocr_sam_project_ray.ops.bm25 import bm25_topk, rrf_fuse
+    from ocr_sam_project_ray.ops.embed import knn_cosine
+
+    bm = bm25_topk(_docs(sf_dir), BM25_QUERIES, k=10)
+
+    import numpy as np
+
+    edf = _embeddings(sf_dir).to_pandas()
+    q = edf[(edf.vec_id >= 100) & (edf.vec_id < 104)].sort_values("vec_id")
+    qm = np.asarray(list(q.embedding), dtype=np.float64)
+    kn = knn_cosine(
+        _embeddings(sf_dir), qm, list(range(len(q))), k=10
+    ).to_pandas()
+    # output rows are ordered (qid, rounded sim DESC, vec_id ASC) — the
+    # re-rank surface; enumerate to 1-based ranks
+    kn["rank"] = kn.groupby("qid").cumcount() + 1
+    ktbl = pa.table(
+        {
+            "qid": pa.array(kn.qid, pa.int64()),
+            "doc_id": pa.array(kn.vec_id, pa.int64()),
+            "rank": pa.array(kn["rank"], pa.int64()),
+        }
+    )
+    return rrf_fuse([bm, ktbl], k=10).to_pandas().reset_index(drop=True)
+
+
 def _q_length_deciles(sf_dir: str):
     """Exact global rank + NTILE(10) by (n_chars, doc_id) WITHOUT a global
     sort (ops/ranking.py) — distributed key histogram → broadcast base
@@ -1406,6 +1469,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   below, pytest-certified (test_grouped_quantiles — includes
         #   the pinned DuckDB rank-rule probe).
         "lang_token_quantiles": _q_lang_token_quantiles,
+        # * bm25_topk / hybrid_rrf: round-3 retrieval stack (ops/bm25.py)
+        #   — Okapi BM25 under an exact integer-rational contract and
+        #   reciprocal-rank fusion of BM25 + embedding knn; full DuckDB
+        #   oracles below, pytest-certified (test_bm25).
+        "bm25_topk": _q_bm25_topk,
+        "hybrid_rrf": _q_hybrid_rrf,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -1944,6 +2013,8 @@ def _ops_oracles() -> dict[str, str]:
         "pmi_topk": _pmi_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
         "chunk_documents": _chunk_oracle(),
+        "bm25_topk": _bm25_oracle(),
+        "hybrid_rrf": _hybrid_rrf_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -2091,6 +2162,64 @@ def _tfidf_oracle() -> str:
     from ocr_sam_project_ray.ops.tfidf import sql_tfidf_topk
 
     return sql_tfidf_topk(k=5)
+
+
+def _bm25_oracle() -> str:
+    from ocr_sam_project_ray.ops.bm25 import sql_bm25_topk
+
+    return sql_bm25_topk(BM25_QUERIES, k=10)
+
+
+def _hybrid_rrf_oracle() -> str:
+    """BM25 CTE + knn CTE (rounded-sim re-rank, cf. _q_hybrid_rrf) →
+    integer RRF sum → per-query top-10."""
+    from ocr_sam_project_ray.ops.bm25 import sql_bm25_topk
+
+    bm = sql_bm25_topk(BM25_QUERIES, k=10)
+    return f"""
+        WITH bm AS (SELECT * FROM ({bm})),
+        kq AS (
+          SELECT vec_id - 100 AS qid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 104
+        ),
+        kt AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ),
+        ksel AS (
+          SELECT kq.qid, kt.vec_id,
+                 round(list_cosine_similarity(kq.e, kt.e), 6) AS sim
+          FROM kq, kt
+          QUALIFY row_number() OVER (
+            PARTITION BY kq.qid
+            ORDER BY list_cosine_similarity(kq.e, kt.e) DESC, kt.vec_id
+          ) <= 10
+        ),
+        kr AS (
+          SELECT qid, vec_id AS doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, vec_id
+                 ) AS BIGINT) AS rank
+          FROM ksel
+        ),
+        u AS (
+          SELECT qid, doc_id, rank FROM bm
+          UNION ALL SELECT qid, doc_id, rank FROM kr
+        ),
+        f AS (
+          SELECT qid, doc_id,
+                 CAST(SUM(CAST(FLOOR(1000000000.0 / (60 + rank) + 0.5)
+                               AS BIGINT)) AS BIGINT) AS rrf_score
+          FROM u GROUP BY qid, doc_id
+        )
+        SELECT qid, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY rrf_score DESC, doc_id
+               ) AS BIGINT) AS rank, rrf_score
+        FROM f
+        QUALIFY row_number() OVER (
+          PARTITION BY qid ORDER BY rrf_score DESC, doc_id
+        ) <= 10
+    """
 
 
 def _span_oracle(strip: bool) -> str:

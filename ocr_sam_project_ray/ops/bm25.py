@@ -1,0 +1,317 @@
+"""BM25 lexical retrieval + reciprocal-rank fusion — the query side of
+the retrieval stack a training-data platform runs over its curated
+corpus (RAG stores, contamination lookups, nearest-page audits).
+Robertson & Sparck Jones' Okapi BM25 (TREC-3, 1994) with the
+fixed-query top-k shape of ops/embed.knn_cosine: the query set is tiny
+and broadcast; the corpus streams through one scoring pass; only local
+top-k candidates move to a per-query merge.
+
+Exact cross-engine contract (what the DuckDB oracle recomputes):
+- token model = the engine-wide contract (ops/textstats.tokenize:
+  whitespace split after strip; '' / NULL -> no tokens); query terms
+  are the DISTINCT tokens of each query string;
+- N  = total input rows (including token-less docs); T = total token
+  count over the corpus; dl(d) = token count of d; df(t) = distinct
+  docs containing t; tf(d, t) = occurrences of t in d;
+- BM25 constants are EXACT dyadic rationals, k1 = 3/2 and b = 3/4, so
+  the tf-saturation component clears to an integer ratio:
+      tf_comp = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+              = 20*tf*T / (8*tf*T + 3*T + 9*dl*N)      [avgdl = T/N]
+- idf is the LINEAR surrogate (2*(N-df)+1) / (2*df+1) — the exact
+  integer-ratio rendering of Robertson idf's argument
+  (N-df+0.5)/(df+0.5), monotone-identical to it, chosen because ln()
+  is libm-dependent and would make cross-engine value parity
+  unprovable (same deliberate trade-off as ops/tfidf's linear idf);
+- per (query, doc, term) contribution, in parts-per-million:
+      c = floor( (idf_num/idf_den) * (tf_num/tf_den) * 1e6 + 0.5 )
+  evaluated LEFT-ASSOCIATIVE — each step (two divisions of exact
+  integers, two multiplications, one add, one floor) is a single
+  correctly-rounded IEEE-754 double op, so Python/numpy and DuckDB
+  produce bit-identical integers;
+- score_ppm(q, d) = integer sum of contributions over q's distinct
+  terms with tf > 0 (docs matching no term are absent); top-k per
+  query by (score_ppm DESC, doc_id ASC), rank 1-based.
+All intermediate integer products must stay below 2^53 for the
+division-parity argument; ``bm25_topk`` guards this explicitly
+(raises, never silently degrades). At true 100 TB scale (T ~ 1e12)
+the contract switches to float log-idf where cross-engine bit parity
+is no longer the requirement — documented, not silent.
+
+Scale shape:
+1. stats pass: one column-pruned streaming pass emits ONE tiny partial
+   row per block (n_docs, total_tokens, df vector over the bounded
+   query-term set); the driver folds block partials (bounded by block
+   count — the ops/bloom.py take_all convention);
+2. scoring pass: {term: df} + (N, T) are ``ray.put`` once; every batch
+   tokenizes locally, scores only query terms, and emits its LOCAL
+   top-k per query (k x n_blocks rows total);
+3. merge: ``groupby(qid).map_groups`` per-query reduction — scales
+   with query count, never corpus size (same as embed._merge_topk).
+
+``rrf_fuse`` combines bounded top-k rankings from heterogeneous
+retrievers (BM25 + embedding knn) by reciprocal-rank fusion (Cormack,
+Clarke & Buettcher, SIGIR 2009): contribution per (system, qid, doc)
+is floor(1e9/(k0 + rank) + 0.5) — one exact-integer division, so the
+fused integer scores are SQL-recomputable. Inputs are top-k lists
+(systems x queries x k rows), bounded by contract, so fusion is a
+driver-side arrow reduction — the corpus never flows through it.
+
+The reference has no retrieval surface at all (one document per Lambda
+invocation, src/ocr_processor/app.py:94-138); this module is part of
+the engine's beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from .textstats import tokenize
+
+_PARITY_BOUND = 2 ** 53
+RRF_K0 = 60
+RRF_SCALE = 1_000_000_000
+
+
+def _query_terms(queries: list[str]) -> list[list[str]]:
+    return [sorted(set(tokenize(q))) for q in queries]
+
+
+def _corpus_stats(
+    ds: Dataset, terms: list[str], text_col: str
+) -> tuple[int, int, dict[str, int]]:
+    """(N, T, {term: df}) in one streaming pass; one partial row per
+    block lands on the driver (bounded by block count)."""
+    term_set = set(terms)
+    order = {t: i for i, t in enumerate(terms)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = np.zeros(len(order), dtype=np.int64)
+        total = 0
+        texts = batch[text_col].to_pylist()
+        for tx in texts:
+            toks = tokenize(tx)
+            total += len(toks)
+            for t in term_set.intersection(toks):
+                df[order[t]] += 1
+        return pa.table(
+            {
+                "n_docs": pa.array([len(texts)], pa.int64()),
+                "total_tokens": pa.array([total], pa.int64()),
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n_docs = sum(r["n_docs"] for r in rows)
+    total_tokens = sum(r["total_tokens"] for r in rows)
+    df_tot = np.zeros(len(order), dtype=np.int64)
+    for r in rows:
+        df_tot += np.asarray(r["df"], dtype=np.int64)
+    return n_docs, total_tokens, {
+        t: int(df_tot[i]) for t, i in order.items() if df_tot[i] > 0
+    }
+
+
+def _contribution(tf: int, df: int, dl: int, n: int, t: int) -> int:
+    """floor(idf_ratio * tf_ratio * 1e6 + 0.5) — the exact left-assoc
+    IEEE sequence the SQL oracle replays (module docstring)."""
+    idf = (2 * (n - df) + 1) / (2 * df + 1)
+    tf_num = 20 * tf * t
+    tf_den = 8 * tf * t + 3 * t + 9 * dl * n
+    if tf_num >= _PARITY_BOUND or tf_den >= _PARITY_BOUND:
+        raise ValueError(
+            "bm25 integer contract exceeded 2^53 — corpus too large for "
+            "the bit-parity rational scoring; use the log-idf float path"
+        )
+    return math.floor(idf * (tf_num / tf_den) * 1e6 + 0.5)
+
+
+def bm25_topk(
+    ds: Dataset,
+    queries: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Top-k BM25 docs per query. ``queries[i]`` has qid = i. Returns an
+    arrow table (qid, doc_id, rank, score_ppm), k rows max per query,
+    ordered (qid ASC, rank ASC)."""
+    qterms = _query_terms(queries)
+    all_terms = sorted({t for qt in qterms for t in qt})
+    n_docs, total_tokens, df_map = _corpus_stats(ds, all_terms, text_col)
+    # broadcast once, read per task — never re-shipped per batch
+    ref = ray.put((qterms, df_map, n_docs, total_tokens))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qt, dfm, n, t = ray.get(ref)
+        per_q: dict[int, list] = defaultdict(list)
+        for i, tx in zip(batch[id_col].to_pylist(),
+                         batch[text_col].to_pylist()):
+            toks = tokenize(tx)
+            dl = len(toks)
+            cnt = Counter(tok for tok in toks if tok in dfm)
+            if not cnt:
+                continue
+            for qid, tlist in enumerate(qt):
+                score, hit = 0, False
+                for term in tlist:
+                    tf = cnt.get(term, 0)
+                    if not tf:
+                        continue
+                    hit = True
+                    score += _contribution(tf, dfm[term], dl, n, t)
+                if hit:
+                    per_q[qid].append((-score, i))
+        out_q, out_d, out_s = [], [], []
+        for qid, rows in per_q.items():
+            for neg, did in heapq.nsmallest(k, rows):
+                out_q.append(qid)
+                out_d.append(did)
+                out_s.append(-neg)
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score_ppm": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=1024
+    )
+
+    def final(g):
+        g = g.sort_values(
+            ["score_ppm", "doc_id"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    merged = (
+        partials.groupby("qid", num_partitions=2)
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    merged = merged[["qid", "doc_id", "rank", "score_ppm"]]
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+def sql_bm25_topk(
+    queries: list[str], k: int = 10, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB recompute of the full contract — same tokenizer rendering
+    as sql_tfidf_topk, same left-associative double sequence."""
+    values = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, tlist in enumerate(_query_terms(queries))
+        for term in tlist
+    )
+    return f"""
+        WITH q(qid, token) AS (VALUES {values}),
+        docs AS (
+          SELECT {id_col} AS doc_id, coalesce({text_col}, '') AS text
+          FROM {table}
+        ),
+        tok AS (
+          SELECT doc_id, unnest(
+                   string_split_regex(trim(text), '\\s+')
+                 ) AS token
+          FROM docs WHERE trim(text) <> ''
+        ),
+        dl AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+          FROM tok GROUP BY doc_id
+        ),
+        stats AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs) AS n,
+                 (SELECT CAST(count(*) AS BIGINT) FROM tok)  AS tt
+        ),
+        df AS (
+          SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok WHERE token IN (SELECT token FROM q)
+          GROUP BY token
+        ),
+        tf AS (
+          SELECT q.qid, tok.doc_id, tok.token,
+                 CAST(count(*) AS BIGINT) AS tf
+          FROM tok JOIN q ON tok.token = q.token
+          GROUP BY q.qid, tok.doc_id, tok.token
+        ),
+        contrib AS (
+          SELECT tf.qid, tf.doc_id,
+                 CAST(FLOOR(
+                   (CAST(2*(s.n - df.df) + 1 AS DOUBLE) / (2*df.df + 1))
+                   * (CAST(20*tf.tf*s.tt AS DOUBLE)
+                      / (8*tf.tf*s.tt + 3*s.tt + 9*dl.dl*s.n))
+                   * 1000000.0 + 0.5) AS BIGINT) AS c
+          FROM tf
+          JOIN df USING (token)
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats s
+        ),
+        scores AS (
+          SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_ppm
+          FROM contrib GROUP BY qid, doc_id
+        )
+        SELECT qid, doc_id, CAST(rnk AS BIGINT) AS rank, score_ppm
+        FROM (
+          SELECT qid, doc_id, score_ppm,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY score_ppm DESC, doc_id
+                 ) AS rnk
+          FROM scores
+        ) WHERE rnk <= {k}
+    """
+
+
+def rrf_fuse(
+    rankings: list[pa.Table], k: int = 10, k0: int = RRF_K0,
+    doc_col: str = "doc_id",
+) -> pa.Table:
+    """Reciprocal-rank fusion of bounded top-k tables, each carrying
+    (qid, {doc_col}, rank). Fused score per (qid, doc) is the integer
+    sum of floor(1e9/(k0 + rank) + 0.5) over the systems that ranked
+    it. Returns (qid, doc_id, rank, rrf_score), top-k per query by
+    (rrf_score DESC, doc_id ASC). Inputs are top-k lists — bounded by
+    contract — so this is a driver-side arrow reduction; the corpus
+    itself never flows through fusion."""
+    fused: dict[tuple[int, int], int] = defaultdict(int)
+    for tbl in rankings:
+        for qid, did, rnk in zip(
+            tbl["qid"].to_pylist(), tbl[doc_col].to_pylist(),
+            tbl["rank"].to_pylist(),
+        ):
+            fused[(qid, did)] += math.floor(RRF_SCALE / (k0 + rnk) + 0.5)
+    by_q: dict[int, list] = defaultdict(list)
+    for (qid, did), s in fused.items():
+        by_q[qid].append((-s, did))
+    out_q, out_d, out_r, out_s = [], [], [], []
+    for qid in sorted(by_q):
+        for rnk, (neg, did) in enumerate(
+            heapq.nsmallest(k, by_q[qid]), start=1
+        ):
+            out_q.append(qid)
+            out_d.append(did)
+            out_r.append(rnk)
+            out_s.append(-neg)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "rrf_score": pa.array(out_s, pa.int64()),
+        }
+    )

@@ -1,0 +1,131 @@
+"""BM25 top-k: engine↔SQL parity (integer-rational contract), rank
+determinism, edge cases; reciprocal-rank fusion algebra."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ocr_sam_project_ray.ops.bm25 import (
+    bm25_topk,
+    rrf_fuse,
+    sql_bm25_topk,
+)
+
+QUERIES = ["apple banana", "cherry", "rare zz zz", "absentterm"]
+
+
+def _docs() -> pa.Table:
+    rows = [
+        (0, "apple banana apple cherry banana apple"),
+        (1, "banana cherry durian durian cherry"),
+        (2, "apple unique1 unique2 unique3"),
+        (3, "zz zz common rare"),
+        (4, "common rare zz"),
+        (5, "common zz"),
+        (6, "common zz rare rare"),
+        (7, ""),
+        (8, None),
+        (9, "solo"),
+        (10, "apple " * 50),          # long doc: length normalization bites
+        (11, "banana"),               # short doc: tf=1 but tiny dl
+    ]
+    return pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    )
+
+
+def _oracle(tbl: pa.Table, queries, k: int) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    return con.execute(sql_bm25_topk(queries, k=k)).df()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[sorted(df.columns)]
+        .astype({"qid": "int64", "doc_id": "int64",
+                 "rank": "int64", "score_ppm": "int64"})
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("k", [1, 3, 50])
+def test_matches_sql_oracle(k):
+    tbl = _docs()
+    got = bm25_topk(ray.data.from_arrow(tbl), QUERIES, k=k).to_pandas()
+    exp = _oracle(tbl, QUERIES, k)
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+
+
+def test_shape_and_semantics():
+    tbl = _docs()
+    got = bm25_topk(ray.data.from_arrow(tbl), QUERIES, k=10).to_pandas()
+    # a query whose terms miss the corpus entirely returns no rows
+    assert not (got.qid == 3).any()
+    # docs without any query term never appear
+    assert not got.doc_id.isin([2 + 7, 8, 9]).any()  # 9='solo', 7/8 empty
+    # ranks are 1..n dense per query
+    for _, g in got.groupby("qid"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+    # length normalization: doc 11 ("banana", dl=1) must outrank the
+    # banana-heavy-but-long doc 0 is NOT required, but doc 10 (50x
+    # "apple") must not dominate purely on raw tf — saturation caps it:
+    q0 = got[got.qid == 0].set_index("doc_id")
+    assert q0.loc[0, "rank"] == 1  # tf on both terms beats single-term spam
+
+
+def test_rrf_fusion_matches_sql():
+    a = pa.table({
+        "qid": pa.array([0, 0, 0, 1], pa.int64()),
+        "doc_id": pa.array([10, 11, 12, 10], pa.int64()),
+        "rank": pa.array([1, 2, 3, 1], pa.int64()),
+    })
+    b = pa.table({
+        "qid": pa.array([0, 0, 1], pa.int64()),
+        "doc_id": pa.array([12, 13, 99], pa.int64()),
+        "rank": pa.array([1, 2, 1], pa.int64()),
+    })
+    got = rrf_fuse([a, b], k=10).to_pandas()
+    con = duckdb.connect()
+    con.register("ra", a)
+    con.register("rb", b)
+    exp = con.execute("""
+        WITH u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+        f AS (
+          SELECT qid, doc_id,
+                 CAST(SUM(CAST(FLOOR(1000000000.0 / (60 + rank) + 0.5)
+                               AS BIGINT)) AS BIGINT) AS rrf_score
+          FROM u GROUP BY qid, doc_id
+        )
+        SELECT qid, doc_id,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY rrf_score DESC, doc_id
+               ) AS BIGINT) AS rank, rrf_score
+        FROM f ORDER BY qid, rank
+    """).df()
+    pd.testing.assert_frame_equal(
+        _norm_rrf(got), _norm_rrf(exp), check_dtype=False
+    )
+    # doc 12 appears in both systems for qid 0 -> its fused score is the
+    # sum of both contributions and it must win
+    assert got[(got.qid == 0) & (got["rank"] == 1)].doc_id.iloc[0] == 12
+
+
+def _norm_rrf(df):
+    return (
+        df[sorted(df.columns)]
+        .astype("int64")
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_parity_bound_guard():
+    from ocr_sam_project_ray.ops.bm25 import _contribution
+
+    with pytest.raises(ValueError, match="2\\^53"):
+        _contribution(tf=2**20, df=1, dl=2**20, n=2**20, t=2**40)
