@@ -914,6 +914,55 @@ def _q_lang_token_quantiles(sf_dir: str):
     )
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered event-sequence funnel view→click→purchase (ops/funnel.py):
+    strictly-ts-increasing subsequence per user, greedy earliest-
+    completion kernel; cascaded min-ts SQL recompute."""
+    from ocr_sam_project_ray.ops.funnel import events_funnel
+
+    return (
+        events_funnel(sf_dir)
+        .to_pandas().sort_values("step").reset_index(drop=True)
+    )
+
+
+def _q_events_moving_sum(sf_dir: str):
+    """Per-user 3-row sliding cents sum over (ts, event_id) order
+    (ops/window.py) — the ROWS-window shape; integer-cents contract.
+    The op returns the Dataset; this wrapper collects for the bounded
+    oracle compare."""
+    from ocr_sam_project_ray.ops.window import events_moving_sum
+
+    return (
+        events_moving_sum(sf_dir)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def _q_events_rollup(sf_dir: str):
+    """ROLLUP(event_type, hour) grouping sets (ops/rollup.py):
+    distributed finest grid -> bounded-by-contract one-block
+    super-aggregation; 'ALL' sentinel instead of SQL NULL."""
+    from ocr_sam_project_ray.ops.rollup import events_rollup
+
+    return (
+        events_rollup(sf_dir)
+        .to_pandas().sort_values(["event_type", "hr"]).reset_index(drop=True)
+    )
+
+
+def _q_hashclf_score(sf_dir: str):
+    """Hashing-vectorizer linear classifier gate (ops/hashclf.py) — the
+    fastText-style quality-filter shape with a deterministic weight
+    lattice; integer score contract, stateless vectorized map_batches."""
+    from ocr_sam_project_ray.ops.hashclf import hashclf_score
+
+    return (
+        hashclf_score(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_doc_split(sf_dir: str):
     """Deterministic train/val/test hash split (ops/split.py): bucket =
     md5('v1:'||id) first-8-hex mod 100; stateless, shuffle-free,
@@ -1475,6 +1524,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   oracles below, pytest-certified (test_bm25).
         "bm25_topk": _q_bm25_topk,
         "hybrid_rrf": _q_hybrid_rrf,
+        # * events_funnel / events_moving_sum / events_rollup: ordered
+        #   event-log analytics (ops/funnel.py, ops/window.py,
+        #   ops/rollup.py) — subsequence funnel counts, ROWS-window
+        #   sliding sums, GROUPING SETS rollup; full DuckDB oracles
+        #   below, pytest-certified (test_analytics_ops).
+        "events_funnel": _q_events_funnel,
+        "events_moving_sum": _q_events_moving_sum,
+        "events_rollup": _q_events_rollup,
+        # * hashclf_score: hashing-vectorizer linear quality gate
+        #   (ops/hashclf.py), integer contract, full SQL recompute.
+        "hashclf_score": _q_hashclf_score,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -2015,6 +2075,10 @@ def _ops_oracles() -> dict[str, str]:
         "chunk_documents": _chunk_oracle(),
         "bm25_topk": _bm25_oracle(),
         "hybrid_rrf": _hybrid_rrf_oracle(),
+        "events_funnel": _funnel_oracle(),
+        "events_moving_sum": _moving_sum_oracle(),
+        "events_rollup": _rollup_oracle(),
+        "hashclf_score": _hashclf_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -2220,6 +2284,30 @@ def _hybrid_rrf_oracle() -> str:
           PARTITION BY qid ORDER BY rrf_score DESC, doc_id
         ) <= 10
     """
+
+
+def _funnel_oracle() -> str:
+    from ocr_sam_project_ray.ops.funnel import sql_events_funnel
+
+    return sql_events_funnel()
+
+
+def _moving_sum_oracle() -> str:
+    from ocr_sam_project_ray.ops.window import SQL_EVENTS_MOVING_SUM
+
+    return SQL_EVENTS_MOVING_SUM
+
+
+def _rollup_oracle() -> str:
+    from ocr_sam_project_ray.ops.rollup import SQL_EVENTS_ROLLUP
+
+    return SQL_EVENTS_ROLLUP
+
+
+def _hashclf_oracle() -> str:
+    from ocr_sam_project_ray.ops.hashclf import sql_hashclf_score
+
+    return sql_hashclf_score()
 
 
 def _span_oracle(strip: bool) -> str:

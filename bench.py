@@ -219,6 +219,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     dsir_score(docs_tbl).count()
     queries["dsir_score_docs"] = round(time.time() - t0, 3)
 
+    # BM25 retrieval over the documents table (stats pass + broadcast
+    # term stats + streaming local top-k + per-query merge)
+    from ocr_sam_project_ray.ops.bm25 import bm25_topk
+
+    t0 = time.time()
+    bm25_topk(
+        docs_tbl,
+        ["table scan fast", "window agg join", "hash merge sort",
+         "spark row column value"],
+        k=10,
+    )
+    queries["bm25_topk_docs"] = round(time.time() - t0, 3)
+
+    # Hashing-vectorizer linear classifier gate (stateless vectorized
+    # map_batches, no shuffle)
+    from ocr_sam_project_ray.ops.hashclf import hashclf_score
+
+    t0 = time.time()
+    hashclf_score(docs_tbl).count()
+    queries["hashclf_score_docs"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),

@@ -1,0 +1,159 @@
+"""Event-sequence funnel analysis — the ordered-subsequence counting a
+web-analytics / training-telemetry pipeline runs over its event log:
+"how many users performed view → click → purchase, in that order?".
+
+Semantics (the exact contract the DuckDB oracle recomputes):
+a user reaches step k when there exist events e_1 … e_k with
+``event_type = steps[i]`` and STRICTLY increasing ``ts``
+(ties on ts do NOT chain — same rule as the cascaded
+``min(ts) … WHERE ts > prev`` SQL). The greedy earliest-completion scan
+is optimal for this subsequence test (exchange argument: replacing any
+chosen event with the earliest valid one never invalidates a later
+step), so the per-user kernel is a single pass over the user's sorted
+events.
+
+Scale shape:
+1. read is column-pruned to (user_id, ts, event_type) and row-filtered
+   to the funnel's own types BEFORE the shuffle — only relevant rows
+   move;
+2. ``groupby(user_id).map_groups`` computes one tiny row per user
+   (steps_reached); the documented one-key-fits-one-group assumption
+   is shared with events_cumsum/user_sessions and takes the same
+   opt-in hot-key guard (ops/guards.py);
+3. per-user rows collapse through a partial histogram combiner →
+   one bounded groupby; the result is len(steps) rows.
+
+The reference has no event-funnel surface (single-document Lambda
+handlers, src/ocr_processor/app.py); this operator is part of the
+engine's beyond-reference analytics surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+
+from ..context import configure_data_context
+from .guards import group_overflows
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(
+    sf_dir: str,
+    steps: Sequence[str] = FUNNEL_STEPS,
+    num_partitions: int = 4,
+    max_group_rows: Optional[int] = None,
+    cap_stats=None,
+) -> Dataset:
+    """Per-step user counts for the ordered funnel ``steps``. Returns a
+    Dataset of len(steps) rows: (step 1-based BIGINT, event_type,
+    n_users = users whose event log contains the first ``step`` funnel
+    types as a strictly-ts-increasing subsequence)."""
+    configure_data_context()
+    steps = list(steps)
+    step_of = {t: i for i, t in enumerate(steps)}
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    types = pa.array(steps, pa.string())
+
+    def keep_funnel_types(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["event_type"], value_set=types))
+
+    def reached(g: pd.DataFrame) -> pd.DataFrame:
+        if group_overflows(g, max_group_rows, cap_stats):
+            return pd.DataFrame({"steps_reached": pd.Series([], dtype="int64")})
+        g = g.sort_values("ts", kind="mergesort")
+        codes = g["event_type"].map(step_of).to_numpy()
+        ts = g["ts"].to_numpy()
+        k = 0
+        last_ts = None
+        # greedy earliest-completion: one pass over the user's sorted
+        # events; strict ts increase between consecutive steps
+        for c, t in zip(codes, ts):
+            if c == k and (last_ts is None or t > last_ts):
+                last_ts = t
+                k += 1
+                if k == len(step_of):
+                    break
+        return pd.DataFrame({"steps_reached": pd.Series([k], dtype="int64")})
+
+    per_user = (
+        ds.map_batches(keep_funnel_types, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=num_partitions)
+        .map_groups(reached, batch_format="pandas")
+    )
+
+    n_steps = len(steps)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        r = batch["steps_reached"].to_numpy(zero_copy_only=False)
+        # n_users at step k = users with steps_reached >= k
+        counts = np.bincount(r, minlength=n_steps + 1)[1:]
+        cum = counts[::-1].cumsum()[::-1]
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, n_steps + 1), pa.int64()),
+                "n_users": pa.array(cum.astype("int64"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        per_user.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("step", num_partitions=1)
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        et = pc.take(
+            pa.array(steps, pa.string()),
+            pc.subtract(batch["step"], pa.scalar(1, pa.int64())),
+        )
+        return pa.table(
+            {
+                "step": batch["step"],
+                "event_type": et,
+                "n_users": batch["n_users"],
+            }
+        )
+
+    return out.map_batches(label, batch_format="pyarrow")
+
+
+def sql_events_funnel(steps: Sequence[str] = FUNNEL_STEPS) -> str:
+    """Cascaded earliest-completion recompute: s_k = per-user min ts of a
+    step-k event strictly after the user's s_{k-1}."""
+    steps = list(steps)
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for k in range(2, len(steps) + 1):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            f"JOIN s{k - 1} p ON e.user_id = p.user_id "
+            f"WHERE e.event_type = '{steps[k - 1]}' AND e.ts > p.t "
+            f"GROUP BY e.user_id)"
+        )
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS step, '{steps[k - 1]}' AS event_type, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM s{k}"
+        for k in range(1, len(steps) + 1)
+    ]
+    return (
+        "WITH " + ", ".join(ctes)
+        + " SELECT * FROM (" + " UNION ALL ".join(selects)
+        + ") ORDER BY step"
+    )
