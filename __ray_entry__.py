@@ -963,6 +963,57 @@ def _q_hashclf_score(sf_dir: str):
     )
 
 
+def _q_events_time_delta(sf_dir: str):
+    """LAG window shape (ops/window.py): per-user microseconds since the
+    previous event; -1 sentinel for each user's first event (avoids the
+    null-int dtype divergence). Op returns the Dataset; wrapper collects
+    for the bounded oracle compare."""
+    from ocr_sam_project_ray.ops.window import events_time_delta
+
+    return (
+        events_time_delta(sf_dir)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def _q_users_click_purchase(sf_dir: str):
+    """FULL OUTER join of two keyed aggregates (ops/outer.py) — per-user
+    click counts (even users) vs purchase counts (users ≡ 0 mod 3);
+    asymmetric side filters guarantee one-sided keys so outer semantics
+    are exercised. Tag-union co-partition plan (no Dataset.join)."""
+    from ocr_sam_project_ray.ops.outer import clicks_vs_purchases
+
+    return (
+        clicks_vs_purchases(sf_dir)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+
+
+def _q_trim_docs_length(sf_dir: str):
+    """Percentile-gated outlier trim (ops/outliers.py): exact [p05, p95]
+    n_chars thresholds via the distributed-histogram quantile plan,
+    broadcast into a stateless filter. quantile_disc rank rule."""
+    from ocr_sam_project_ray.ops.outliers import trim_docs_by_length
+
+    return (
+        trim_docs_by_length(sf_dir)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_cdc_chunk_stats(sf_dir: str):
+    """Content-defined chunking dedup accounting (ops/cdc.py): rolling-
+    hash cut points, corpus-wide keep-first chunk dedup, per-doc dup
+    ratios. Rows-only (per-byte rolling hash is not SQL-expressible at
+    reasonable cost); invariants + recall pytest-certified (test_cdc)."""
+    from ocr_sam_project_ray.ops.cdc import cdc_chunk_stats
+
+    return (
+        cdc_chunk_stats(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_doc_split(sf_dir: str):
     """Deterministic train/val/test hash split (ops/split.py): bucket =
     md5('v1:'||id) first-8-hex mod 100; stateless, shuffle-free,
@@ -1535,6 +1586,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # * hashclf_score: hashing-vectorizer linear quality gate
         #   (ops/hashclf.py), integer contract, full SQL recompute.
         "hashclf_score": _q_hashclf_score,
+        # * users_click_purchase / trim_docs_length: FULL OUTER keyed-
+        #   aggregate join (ops/outer.py) and percentile outlier trim
+        #   (ops/outliers.py); full DuckDB oracles below (test_cdc).
+        "users_click_purchase": _q_users_click_purchase,
+        "trim_docs_length": _q_trim_docs_length,
+        # * events_time_delta: LAG window (ops/window.py), -1 sentinel
+        #   for group-first rows; full DuckDB oracle below.
+        "events_time_delta": _q_events_time_delta,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -1544,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,                    # rows-only (approximate)
         "approx_distinct_users": _q_approx_distinct_users,  # rows-only (sketch)
         "semdedup": _q_semdedup,                  # rows-only (approximate)
+        "cdc_chunk_stats": _q_cdc_chunk_stats,    # rows-only (rolling hash)
     }
 
 
@@ -2079,6 +2139,9 @@ def _ops_oracles() -> dict[str, str]:
         "events_moving_sum": _moving_sum_oracle(),
         "events_rollup": _rollup_oracle(),
         "hashclf_score": _hashclf_oracle(),
+        "users_click_purchase": _outer_join_oracle(),
+        "trim_docs_length": _trim_docs_oracle(),
+        "events_time_delta": _time_delta_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -2308,6 +2371,24 @@ def _hashclf_oracle() -> str:
     from ocr_sam_project_ray.ops.hashclf import sql_hashclf_score
 
     return sql_hashclf_score()
+
+
+def _time_delta_oracle() -> str:
+    from ocr_sam_project_ray.ops.window import SQL_EVENTS_TIME_DELTA
+
+    return SQL_EVENTS_TIME_DELTA
+
+
+def _outer_join_oracle() -> str:
+    from ocr_sam_project_ray.ops.outer import SQL_CLICKS_VS_PURCHASES
+
+    return SQL_CLICKS_VS_PURCHASES
+
+
+def _trim_docs_oracle() -> str:
+    from ocr_sam_project_ray.ops.outliers import SQL_TRIM_DOCS_BY_LENGTH
+
+    return SQL_TRIM_DOCS_BY_LENGTH
 
 
 def _span_oracle(strip: bool) -> str:

@@ -10,7 +10,7 @@ subset (e.g. a shuffled keep-first, or an exact anti-join of only the hits).
 
 Build is distributed: each block folds its values into a local packed
 bitmap; the driver ORs one bitmap per block (bounded by block count, never
-by row count). Hashing is crc32 double-hashing for strings and splitmix64
+by row count). Hashing is vectorized siphash+splitmix double-hashing for strings and splitmix64
 for int64 ids — deterministic across processes (never builtin ``hash``).
 
 No false negatives, ever: a value that was added always tests positive.
@@ -18,7 +18,6 @@ No false negatives, ever: a value that was added always tests positive.
 
 from __future__ import annotations
 
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -30,14 +29,32 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _positions_str(values: list, m_bits: int, k: int) -> np.ndarray:
-    """(n, k) bit positions for string values (crc32 double hashing)."""
-    out = np.empty((len(values), k), dtype=np.int64)
-    for i, v in enumerate(values):
-        b = (v or "").encode("utf-8")
-        h1 = zlib.crc32(b)
-        h2 = zlib.crc32(b, 0x9E3779B1) | 1  # odd → full-period stride
+    """(n, k) bit positions for string values. Base hash is pandas'
+    vectorized siphash (fixed default key — deterministic across
+    processes, unlike builtin ``hash``); h1/h2 double-hashing strides
+    are splitmix64 finalizes of it. Replaces the earlier per-string
+    crc32 Python loop — same filter semantics (no false negatives),
+    different (still deterministic) bit layout."""
+    import pandas as pd
+
+    arr = np.array(["" if v is None else v for v in values], dtype=object)
+    base = pd.util.hash_array(arr, categorize=False)  # uint64, C-speed
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            z = x + _GOLDEN
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+    with np.errstate(over="ignore"):
+        h1 = _mix(base)
+        h2 = _mix(base ^ _GOLDEN) | np.uint64(1)  # odd → full-period stride
+        out = np.empty((len(values), k), dtype=np.int64)
         for j in range(k):
-            out[i, j] = (h1 + j * h2) % m_bits
+            out[:, j] = ((h1 + np.uint64(j) * h2) % np.uint64(m_bits)).astype(
+                np.int64
+            )
     return out
 
 

@@ -75,6 +75,55 @@ def events_moving_sum(
     )
 
 
+def events_time_delta(
+    sf_dir: str,
+    num_partitions: int = 4,
+    max_group_rows: Optional[int] = None,
+    cap_stats=None,
+) -> Dataset:
+    """LAG shape: per-user microseconds since the previous event in
+    (ts, event_id) order; first event per user → -1 (sentinel instead
+    of NULL — avoids the null-int dtype divergence between engines).
+    One row per event: (event_id, user_id, delta_us)."""
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "delta_us": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        if group_overflows(g, max_group_rows, cap_stats):
+            return empty.copy()
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        delta = np.empty(len(us), dtype="int64")
+        delta[0] = -1
+        delta[1:] = us[1:] - us[:-1]
+        out = g[["event_id", "user_id"]].copy()
+        out["delta_us"] = delta
+        return out
+
+    return ds.groupby("user_id", num_partitions=num_partitions).map_groups(
+        lag, batch_format="pandas"
+    )
+
+
+SQL_EVENTS_TIME_DELTA = """
+SELECT event_id, user_id,
+       CAST(coalesce(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts), -1) AS BIGINT) AS delta_us
+FROM events ORDER BY event_id
+"""
+
+
 SQL_EVENTS_MOVING_SUM = f"""
 SELECT event_id, user_id,
        CAST(sum(CAST(round(value*100) AS BIGINT))

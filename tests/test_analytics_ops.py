@@ -16,7 +16,8 @@ from ocr_sam_project_ray.ops.hashclf import (
 )
 from ocr_sam_project_ray.ops.rollup import SQL_EVENTS_ROLLUP, events_rollup
 from ocr_sam_project_ray.ops.window import (
-    SQL_EVENTS_MOVING_SUM, events_moving_sum,
+    SQL_EVENTS_MOVING_SUM, SQL_EVENTS_TIME_DELTA, events_moving_sum,
+    events_time_delta,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -129,6 +130,32 @@ def test_moving_sum_matches_duckdb():
         f"read_parquet('{SF}/events.parquet')"
     )
     exp = _norm(con.sql(SQL_EVENTS_MOVING_SUM).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_time_delta_hand_case(tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 00:00:01.500000", 1, "view", 1.0),
+        (3, "2024-01-01 00:01:00", 1, "view", 1.0),
+        (4, "2024-01-01 09:00:00", 2, "view", 1.0),
+    ]
+    sf = _events_fixture(tmp_path, rows)
+    out = events_time_delta(sf).to_pandas().set_index("event_id")["delta_us"]
+    assert out.loc[1] == -1       # first event of user 1
+    assert out.loc[2] == 1_500_000
+    assert out.loc[3] == 58_500_000
+    assert out.loc[4] == -1       # first event of user 2
+
+
+def test_time_delta_matches_duckdb():
+    got = _norm(events_time_delta(SF).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    exp = _norm(con.sql(SQL_EVENTS_TIME_DELTA).df())
     pd.testing.assert_frame_equal(got, exp)
 
 
