@@ -976,6 +976,18 @@ def _q_events_time_delta(sf_dir: str):
     )
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid components (ops/centroids.py) —
+    integer-ppm sums + counts instead of a float mean so the contract
+    is reduction-order-exact; |labels| x dim bounded output."""
+    from ocr_sam_project_ray.ops.centroids import label_centroids
+
+    return (
+        label_centroids(_embeddings(sf_dir))
+        .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    )
+
+
 def _q_users_click_purchase(sf_dir: str):
     """FULL OUTER join of two keyed aggregates (ops/outer.py) — per-user
     click counts (even users) vs purchase counts (users ≡ 0 mod 3);
@@ -1594,6 +1606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # * events_time_delta: LAG window (ops/window.py), -1 sentinel
         #   for group-first rows; full DuckDB oracle below.
         "events_time_delta": _q_events_time_delta,
+        # * label_centroids: per-label embedding centroid components
+        #   (ops/centroids.py), integer-ppm contract, parallel-unnest
+        #   DuckDB oracle.
+        "label_centroids": _q_label_centroids,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -2142,6 +2158,7 @@ def _ops_oracles() -> dict[str, str]:
         "users_click_purchase": _outer_join_oracle(),
         "trim_docs_length": _trim_docs_oracle(),
         "events_time_delta": _time_delta_oracle(),
+        "label_centroids": _centroids_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -2371,6 +2388,12 @@ def _hashclf_oracle() -> str:
     from ocr_sam_project_ray.ops.hashclf import sql_hashclf_score
 
     return sql_hashclf_score()
+
+
+def _centroids_oracle() -> str:
+    from ocr_sam_project_ray.ops.centroids import SQL_LABEL_CENTROIDS
+
+    return SQL_LABEL_CENTROIDS
 
 
 def _time_delta_oracle() -> str:
