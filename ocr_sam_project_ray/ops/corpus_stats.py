@@ -84,11 +84,13 @@ def events_cumsum(sf_dir: str, num_partitions: int = 4):
     )
 
     def running(g):
+        from .relational import np_cents
+
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        # half-away-from-zero like DuckDB round() — pandas .round() is
-        # half-to-even and diverges on exact .5 cents (same float-parity
-        # trap relational._cents guards against); values are non-negative
-        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+        # half away from zero on BOTH signs, like DuckDB round() — pandas
+        # .round() is half-to-even and diverges on exact .5 cents (same
+        # float-parity trap relational._cents guards against)
+        cents = np_cents(g["value"].to_numpy())
         out = g[["event_id", "user_id"]].copy()
         out["cum_value_cents"] = cents.cumsum()
         return out
@@ -275,18 +277,10 @@ def token_count_quantiles(
         .sort_values("n_tokens")
         .reset_index(drop=True)
     )
-    import math
+    # the quantile_disc rank rule lives ONCE, in outliers.quantile_disc_walk
+    from .outliers import quantile_disc_walk
 
-    total = int(hist.n_docs.sum())
-    out = {}
-    for q in qs:
-        target = max(0, math.ceil(q * total) - 1)  # 0-based rank
-        cum = 0
-        val = int(hist.n_tokens.iloc[-1]) if len(hist) else 0
-        for _, row in hist.iterrows():
-            cum += int(row.n_docs)
-            if cum > target:
-                val = int(row.n_tokens)
-                break
-        out[f"p{int(q * 100)}"] = val
-    return pd.DataFrame([out])
+    walked = quantile_disc_walk(
+        hist.n_tokens.to_numpy(), hist.n_docs.to_numpy(), qs
+    )
+    return pd.DataFrame([{f"p{int(q * 100)}": v for q, v in walked.items()}])

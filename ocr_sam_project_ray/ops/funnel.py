@@ -110,26 +110,29 @@ def events_funnel(
 
     from ray.data.aggregate import Sum
 
-    out = (
+    agg = (
         per_user.map_batches(hist_partial, batch_format="pyarrow")
         .groupby("step", num_partitions=1)
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
-    def label(batch: pa.Table) -> pa.Table:
-        et = pc.take(
-            pa.array(steps, pa.string()),
-            pc.subtract(batch["step"], pa.scalar(1, pa.int64())),
-        )
-        return pa.table(
+    # the aggregate is bounded by contract at len(steps) rows; collecting
+    # it lets the op emit a zero-count row for EVERY step even when no
+    # funnel-type events exist at all (the SQL contract always returns
+    # one row per step)
+    counts = {int(r["step"]): int(r["n_users"]) for r in agg.take_all()}
+    return ray.data.from_arrow(
+        pa.table(
             {
-                "step": batch["step"],
-                "event_type": et,
-                "n_users": batch["n_users"],
+                "step": pa.array(range(1, n_steps + 1), pa.int64()),
+                "event_type": pa.array(steps, pa.string()),
+                "n_users": pa.array(
+                    [counts.get(k, 0) for k in range(1, n_steps + 1)],
+                    pa.int64(),
+                ),
             }
         )
-
-    return out.map_batches(label, batch_format="pyarrow")
+    )
 
 
 def sql_events_funnel(steps: Sequence[str] = FUNNEL_STEPS) -> str:

@@ -49,13 +49,27 @@ def _scores(texts: list) -> np.ndarray:
     flat = [tok for toks in toks_per_doc for tok in toks]
     scores = np.zeros(len(texts), dtype=np.int64)
     if flat:
-        arr = np.asarray(flat, dtype="U")
         n = len(flat)
-        width = arr.dtype.itemsize // 4
-        codes = arr.view(np.uint32).reshape(n, width).astype(np.int64)
-        lens = np.char.str_len(arr).astype(np.int64)
-        first = codes[:, 0]
-        last = codes[np.arange(n), lens - 1]
+        maxlen = max(map(len, flat))
+        if maxlen <= 128:
+            # fast path: one padded U-array, fully vectorized code-point
+            # access. Padding cost is n × maxlen × 4 bytes — bounded by
+            # the 128-char cap.
+            arr = np.asarray(flat, dtype="U")
+            width = arr.dtype.itemsize // 4
+            codes = arr.view(np.uint32).reshape(n, width).astype(np.int64)
+            lens = np.char.str_len(arr).astype(np.int64)
+            first = codes[:, 0]
+            last = codes[np.arange(n), lens - 1]
+        else:
+            # degenerate-token guard (one unbroken 100 KB base64 blob
+            # would make the padded array n × maxlen × 4 bytes → OOM):
+            # only length/first/last are needed, so extract them in O(n)
+            # memory via a compact 2-char array.
+            lens = np.fromiter(map(len, flat), dtype=np.int64, count=n)
+            fl = np.asarray([t[0] + t[-1] for t in flat], dtype="U2")
+            pair = fl.view(np.uint32).reshape(n, 2).astype(np.int64)
+            first, last = pair[:, 0], pair[:, 1]
         h = (lens * 97 + first * 31 + last) % HASH_DIM
         w = (h * WEIGHT_MULT) % WEIGHT_MOD - WEIGHT_SHIFT
         doc_idx = np.repeat(np.arange(len(texts)), counts)

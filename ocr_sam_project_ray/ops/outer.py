@@ -67,9 +67,11 @@ def full_outer_agg_join(
 
     def merge(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
+            # preserve the key's actual dtype (string keys etc.) so empty
+            # co-partition blocks don't carry a conflicting schema
             return pa.table(
                 {
-                    key: pa.array([], pa.int64()),
+                    key: pa.array([], batch.schema.field(key).type),
                     left_val: pa.array([], pa.int64()),
                     right_val: pa.array([], pa.int64()),
                 }

@@ -29,6 +29,27 @@ from ray.data import Dataset
 from ..context import configure_data_context
 
 
+def quantile_disc_walk(values, counts, qs) -> dict:
+    """{q: value} walk over a sorted (value, count) histogram with the
+    DuckDB quantile_disc rank rule — element at 0-based rank
+    ceil(q·n)−1 of the sorted multiset (pinned by the probe test in
+    test_grouped_quantiles). THE shared implementation: corpus_stats
+    and this module both delegate here so the rank rule lives once."""
+    total = int(sum(counts))
+    out = {}
+    for q in qs:
+        target = max(0, math.ceil(q * total) - 1)  # 0-based rank
+        cum = 0
+        val = int(values[-1]) if len(values) else 0
+        for v, c in zip(values, counts):
+            cum += int(c)
+            if cum > target:
+                val = int(v)
+                break
+        out[q] = val
+    return out
+
+
 def column_quantiles(
     ds: Dataset, col: str, qs, num_partitions: int = 2
 ) -> dict:
@@ -54,21 +75,9 @@ def column_quantiles(
         .sort_values(col)
         .reset_index(drop=True)
     )
-    total = int(hist["cnt_"].sum())
-    values = hist[col].to_numpy()
-    counts = hist["cnt_"].to_numpy()
-    out = {}
-    for q in qs:
-        target = max(0, math.ceil(q * total) - 1)  # 0-based rank
-        cum = 0
-        val = int(values[-1]) if len(values) else 0
-        for v, c in zip(values, counts):
-            cum += int(c)
-            if cum > target:
-                val = int(v)
-                break
-        out[q] = val
-    return out
+    return quantile_disc_walk(
+        hist[col].to_numpy(), hist["cnt_"].to_numpy(), qs
+    )
 
 
 def trim_outliers(

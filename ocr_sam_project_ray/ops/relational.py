@@ -43,6 +43,17 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     )
 
 
+def np_cents(values) -> "np.ndarray":
+    """numpy twin of _cents for pandas map_groups kernels: double dollars
+    → int64 cents, half away from zero on BOTH signs (DuckDB round())."""
+    import numpy as np
+
+    scaled = np.asarray(values, dtype=np.float64) * 100.0
+    return np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype("int64")
+
+
 def q1_pricing_summary(sf_dir: str, num_partitions: int = 4):
     """Pricing summary (TPC-H Q1 shape): per (returnflag, linestatus) counts
     and cent-exact sums, pre-aggregated inside map_batches."""

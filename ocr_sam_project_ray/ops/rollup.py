@@ -38,15 +38,10 @@ def events_rollup(sf_dir: str, num_partitions: int = 2) -> Dataset:
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
+    from .relational import _cents
+
     def partial(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(
-                pc.multiply(batch["value"], pa.scalar(100.0)),
-                ndigits=0,
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
+        cents = _cents(batch["value"])
         hr = pc.cast(pc.hour(batch["ts"]), pa.int64())
         t = pa.table(
             {"event_type": batch["event_type"], "hr": hr, "cents": cents}

@@ -28,6 +28,7 @@ from ray.data import Dataset
 
 from ..context import configure_data_context
 from .guards import group_overflows
+from .relational import np_cents
 
 WINDOW_ROWS = 3
 
@@ -60,8 +61,8 @@ def events_moving_sum(
         if group_overflows(g, max_group_rows, cap_stats):
             return empty.copy()
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        # half-away-from-zero like DuckDB round(); values non-negative
-        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype("int64")
+        # half away from zero on BOTH signs, like DuckDB round()
+        cents = np_cents(g["value"].to_numpy())
         cum = cents.cumsum()
         mov = cum.copy()
         if len(cum) > window:

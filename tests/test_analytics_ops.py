@@ -122,6 +122,26 @@ def test_moving_sum_hand_case(tmp_path):
     assert out.loc[5] == 11
 
 
+def test_moving_sum_negative_values_match_duckdb(tmp_path):
+    # refunds: half-away-from-zero must hold on the NEGATIVE side too
+    # (-10.5 cents -> -11, not numpy floor's -10)
+    rows = [
+        (1, "2024-01-01 00:00", 1, "view", -0.105),
+        (2, "2024-01-01 00:01", 1, "view", -2.0),
+        (3, "2024-01-01 00:02", 1, "view", 3.0),
+    ]
+    sf = _events_fixture(tmp_path, rows)
+    got = _norm(events_moving_sum(sf).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    exp = _norm(con.sql(SQL_EVENTS_MOVING_SUM).df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.set_index("event_id").loc[1, "mov_value_cents"] == -11
+
+
 def test_moving_sum_matches_duckdb():
     got = _norm(events_moving_sum(SF).to_pandas())
     con = duckdb.connect()
