@@ -1013,6 +1013,19 @@ def _q_trim_docs_length(sf_dir: str):
     )
 
 
+def _q_compression_signal(sf_dir: str):
+    """Compression-ratio quality signal (ops/compressratio.py): zlib
+    ratio in ppm + keep / too_repetitive / too_random / empty gate.
+    Rows-only (DuckDB has no deflate surface); calibration + gating
+    pytest-certified (test_compressratio)."""
+    from ocr_sam_project_ray.ops.compressratio import compression_signal
+
+    return (
+        compression_signal(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_cdc_chunk_stats(sf_dir: str):
     """Content-defined chunking dedup accounting (ops/cdc.py): rolling-
     hash cut points, corpus-wide keep-first chunk dedup, per-doc dup
@@ -1620,6 +1633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,  # rows-only (sketch)
         "semdedup": _q_semdedup,                  # rows-only (approximate)
         "cdc_chunk_stats": _q_cdc_chunk_stats,    # rows-only (rolling hash)
+        "compression_signal": _q_compression_signal,  # rows-only (zlib)
     }
 
 
