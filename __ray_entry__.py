@@ -1013,6 +1013,32 @@ def _q_trim_docs_length(sf_dir: str):
     )
 
 
+def _q_purchase_attribution(sf_dir: str):
+    """Last-touch attribution (ops/attribution.py): per purchase, the
+    greatest-(ts,event_id) preceding click/view of the same user; -1
+    sentinel when none. Vectorized searchsorted kernel per user group;
+    correlated-subquery SQL recompute."""
+    from ocr_sam_project_ray.ops.attribution import purchase_attribution
+
+    return (
+        purchase_attribution(sf_dir)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def _q_char_entropy(sf_dir: str):
+    """Char-entropy signal (ops/entropy.py): per-doc code-point entropy
+    under the dsir ln discipline — per-term integer micro-nat floors,
+    order-free integer sum; full DuckDB recompute (string_split char
+    model, code-point parity pinned in test_entropy)."""
+    from ocr_sam_project_ray.ops.entropy import char_entropy
+
+    return (
+        char_entropy(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_compression_signal(sf_dir: str):
     """Compression-ratio quality signal (ops/compressratio.py): zlib
     ratio in ppm + keep / too_repetitive / too_random / empty gate.
@@ -1623,6 +1649,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/centroids.py), integer-ppm contract, parallel-unnest
         #   DuckDB oracle.
         "label_centroids": _q_label_centroids,
+        # * purchase_attribution: last-touch attribution over the event
+        #   log (ops/attribution.py); full DuckDB oracle below.
+        "purchase_attribution": _q_purchase_attribution,
+        # * char_entropy: code-point entropy signal (ops/entropy.py),
+        #   integer micro-nat contract; full DuckDB oracle below.
+        "char_entropy": _q_char_entropy,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -2173,6 +2205,8 @@ def _ops_oracles() -> dict[str, str]:
         "trim_docs_length": _trim_docs_oracle(),
         "events_time_delta": _time_delta_oracle(),
         "label_centroids": _centroids_oracle(),
+        "purchase_attribution": _attribution_oracle(),
+        "char_entropy": _entropy_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -2402,6 +2436,20 @@ def _hashclf_oracle() -> str:
     from ocr_sam_project_ray.ops.hashclf import sql_hashclf_score
 
     return sql_hashclf_score()
+
+
+def _entropy_oracle() -> str:
+    from ocr_sam_project_ray.ops.entropy import sql_char_entropy
+
+    return sql_char_entropy()
+
+
+def _attribution_oracle() -> str:
+    from ocr_sam_project_ray.ops.attribution import (
+        SQL_PURCHASE_ATTRIBUTION,
+    )
+
+    return SQL_PURCHASE_ATTRIBUTION
 
 
 def _centroids_oracle() -> str:
