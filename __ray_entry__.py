@@ -1026,6 +1026,30 @@ def _q_purchase_attribution(sf_dir: str):
     )
 
 
+def _q_events_value_trend(sf_dir: str):
+    """OLS sufficient statistics of cents-vs-hours per event type
+    (ops/suffstats.py): n, Σx, Σy, Σxx, Σxy as exact integers — the
+    mergeable fold every linear fit / drift monitor reduces to."""
+    from ocr_sam_project_ray.ops.suffstats import events_value_trend
+
+    return (
+        events_value_trend(sf_dir)
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+
+
+def _q_events_per_user_histogram(sf_dir: str):
+    """Degree distribution of the event log (ops/suffstats.py) — the
+    skew audit behind every one-key-per-group operator; two-level exact
+    aggregation."""
+    from ocr_sam_project_ray.ops.suffstats import events_per_user_histogram
+
+    return (
+        events_per_user_histogram(sf_dir)
+        .to_pandas().sort_values("n_events").reset_index(drop=True)
+    )
+
+
 def _q_char_entropy(sf_dir: str):
     """Char-entropy signal (ops/entropy.py): per-doc code-point entropy
     under the dsir ln discipline — per-term integer micro-nat floors,
@@ -1655,6 +1679,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # * char_entropy: code-point entropy signal (ops/entropy.py),
         #   integer micro-nat contract; full DuckDB oracle below.
         "char_entropy": _q_char_entropy,
+        # * events_value_trend / events_per_user_histogram: OLS
+        #   sufficient statistics and the degree-distribution skew audit
+        #   (ops/suffstats.py); full DuckDB oracles below.
+        "events_value_trend": _q_events_value_trend,
+        "events_per_user_histogram": _q_events_per_user_histogram,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -2207,6 +2236,8 @@ def _ops_oracles() -> dict[str, str]:
         "label_centroids": _centroids_oracle(),
         "purchase_attribution": _attribution_oracle(),
         "char_entropy": _entropy_oracle(),
+        "events_value_trend": _trend_oracle(),
+        "events_per_user_histogram": _degree_hist_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -2436,6 +2467,20 @@ def _hashclf_oracle() -> str:
     from ocr_sam_project_ray.ops.hashclf import sql_hashclf_score
 
     return sql_hashclf_score()
+
+
+def _trend_oracle() -> str:
+    from ocr_sam_project_ray.ops.suffstats import SQL_EVENTS_VALUE_TREND
+
+    return SQL_EVENTS_VALUE_TREND
+
+
+def _degree_hist_oracle() -> str:
+    from ocr_sam_project_ray.ops.suffstats import (
+        SQL_EVENTS_PER_USER_HISTOGRAM,
+    )
+
+    return SQL_EVENTS_PER_USER_HISTOGRAM
 
 
 def _entropy_oracle() -> str:
