@@ -6,16 +6,23 @@ repeated-char padding (low entropy), and uniform-random encodings
 distributional measure that IS SQL-recomputable.
 
 Exact integer contract (the ops/dsir.py ln discipline — numpy and
-DuckDB ln agree to ≤1 ulp on this platform, measured there; each term
-is floored to integer micro-nats INDEPENDENTLY so the cross-term sum is
-exact integer arithmetic, order-free):
+DuckDB ln agree to ≤1 ulp on this platform, measured there):
     per (doc, distinct char c):
-        term_c = floor(1e6 * n_c * (ln(n) - ln(n_c)) + 0.5)
-    entropy_sum_micronat(doc) = Σ_c term_c        [= n · H(doc) scaled]
+        term_c = n_c * floor(1e6 * (ln(n) - ln(n_c)) + 0.5)
+    entropy_sum_micronat(doc) = Σ_c term_c     [≈ n · H(doc) scaled]
     n = total code points (Python list(text) == DuckDB
         string_split(text,'') — code-point parity verified in tests)
-Empty docs → n = 0, entropy_sum = 0. Callers divide by n·1e6 for
-nats/char; shipping the undivided sum keeps the contract division-free.
+The count multiplier sits OUTSIDE the floor on purpose: flooring
+``n_c * (ln − ln)`` would amplify the ≤1-ulp ln divergence by n_c and
+flip the floor on realistic large documents (reproduced during review:
+'a'*90907+'b' flipped by 1); with only the ln difference inside, the
+pre-floor absolute error is ~3e-9 — the same dsir-grade boundary risk,
+and the subsequent multiply/sum are exact integer arithmetic,
+order-free. (At true 100 TB term counts even that residual boundary
+probability accumulates — documented, the same caveat as bm25's 2^53
+guard; the oracle regime is the sandbox tiers.) Empty docs → n = 0,
+entropy_sum = 0. Callers divide by n·1e6 for nats/char; shipping the
+undivided sum keeps the contract division-free.
 
 Scale shape: stateless column-pruned map_batches — counts per doc via
 one numpy unique per doc over code points (bounded by alphabet size),
@@ -40,15 +47,16 @@ def doc_entropy_sum(text: str | None) -> tuple[int, int]:
     n = len(t)
     if n == 0:
         return 0, 0
-    codes = np.frombuffer(np.array([t], dtype=f"U{n}").tobytes(),
-                          dtype=np.uint32)
+    # single-copy code-point view (utf-32-le bytes ARE the uint32 codes)
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
     _, counts = np.unique(codes, return_counts=True)
     nc = counts.astype(np.float64)
-    # fixed operand order: ln(n) - ln(n_c); per-term floor → exact sum
-    terms = np.floor(
-        SCALE * nc * (np.log(float(n)) - np.log(nc)) + 0.5
+    # fixed operand order ln(n) - ln(n_c); count multiplier OUTSIDE the
+    # floor (see module docstring) → exact integer multiply-and-sum
+    quant = np.floor(
+        SCALE * (np.log(float(n)) - np.log(nc)) + 0.5
     ).astype(np.int64)
-    return n, int(terms.sum())
+    return n, int((counts.astype(np.int64) * quant).sum())
 
 
 def char_entropy(
@@ -98,7 +106,7 @@ def sql_char_entropy(
         ),
         terms AS (
           SELECT p.doc_id,
-                 CAST(floor({SCALE} * p.n_c * (
+                 p.n_c * CAST(floor({SCALE} * (
                         ln(CAST(d.n AS DOUBLE)) - ln(CAST(p.n_c AS DOUBLE))
                       ) + 0.5) AS BIGINT) AS term
           FROM per_char p JOIN per_doc d USING (doc_id)

@@ -21,10 +21,11 @@ def test_hand_cases():
     assert doc_entropy_sum(None) == (0, 0)
     # single repeated char: H = 0 exactly
     assert doc_entropy_sum("aaaa") == (4, 0)
-    # two equiprobable chars: n*H = 4*ln(2); per-term floor then sum
+    # two equiprobable chars: quantize ln(4)-ln(2) once, multiply by
+    # the exact integer count (the multiplier sits OUTSIDE the floor)
     n, s = doc_entropy_sum("abab")
-    term = math.floor(SCALE * 2 * (math.log(4) - math.log(2)) + 0.5)
-    assert (n, s) == (4, 2 * term)
+    quant = math.floor(SCALE * (math.log(4) - math.log(2)) + 0.5)
+    assert (n, s) == (4, 2 * (2 * quant))
 
 
 def test_entropy_orders_content_classes():
@@ -66,6 +67,26 @@ def test_matches_duckdb_with_unicode():
         exp[c] = exp[c].astype("int64")
         got[c] = got[c].astype("int64")
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_floor_boundary_large_doc_matches_duckdb():
+    # regression for the confirmed review repro: with the count
+    # multiplier INSIDE the floor, 'a'*90907 + 'b' flipped the floor
+    # (engine 12417597 vs oracle 12417598) because the ~1e-5-nat ln
+    # difference times 90907 amplified the 1-ulp ln divergence past the
+    # boundary. With the multiplier outside, both engines agree exactly.
+    big = "a" * 90907 + "b"
+    got_n, got_s = doc_entropy_sum(big)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT CAST(1 AS BIGINT) AS doc_id, "
+        "CAST(? AS VARCHAR) AS text",
+        [big],
+    )
+    exp = con.sql(sql_char_entropy()).df().iloc[0]
+    assert (got_n, got_s) == (
+        int(exp.n_chars_ent), int(exp.entropy_sum_micronat)
+    )
 
 
 def test_matches_duckdb_corpus():
