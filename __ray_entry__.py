@@ -1026,6 +1026,17 @@ def _q_purchase_attribution(sf_dir: str):
     )
 
 
+def _q_events_cube(sf_dir: str):
+    """CUBE(event_type, hour) grouping sets (ops/rollup.py): the ROLLUP
+    plan plus bounded hour-only marginals; 'ALL' sentinel."""
+    from ocr_sam_project_ray.ops.rollup import events_cube
+
+    return (
+        events_cube(sf_dir)
+        .to_pandas().sort_values(["event_type", "hr"]).reset_index(drop=True)
+    )
+
+
 def _q_events_value_trend(sf_dir: str):
     """OLS sufficient statistics of cents-vs-hours per event type
     (ops/suffstats.py): n, Σx, Σy, Σxx, Σxy as exact integers — the
@@ -1684,6 +1695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/suffstats.py); full DuckDB oracles below.
         "events_value_trend": _q_events_value_trend,
         "events_per_user_histogram": _q_events_per_user_histogram,
+        # * events_cube: CUBE grouping sets (ops/rollup.py); full
+        #   DuckDB oracle below.
+        "events_cube": _q_events_cube,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -2238,6 +2252,7 @@ def _ops_oracles() -> dict[str, str]:
         "char_entropy": _entropy_oracle(),
         "events_value_trend": _trend_oracle(),
         "events_per_user_histogram": _degree_hist_oracle(),
+        "events_cube": _cube_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -2467,6 +2482,12 @@ def _hashclf_oracle() -> str:
     from ocr_sam_project_ray.ops.hashclf import sql_hashclf_score
 
     return sql_hashclf_score()
+
+
+def _cube_oracle() -> str:
+    from ocr_sam_project_ray.ops.rollup import SQL_EVENTS_CUBE
+
+    return SQL_EVENTS_CUBE
 
 
 def _trend_oracle() -> str:

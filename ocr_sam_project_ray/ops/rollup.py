@@ -106,6 +106,56 @@ def events_rollup(sf_dir: str, num_partitions: int = 2) -> Dataset:
     )
 
 
+def events_cube(sf_dir: str, num_partitions: int = 2) -> Dataset:
+    """CUBE(event_type, hour-of-day): the ROLLUP levels plus the
+    hour-only marginals — same distributed-finest-grid plan, one extra
+    bounded super-aggregation over the other axis."""
+    configure_data_context()
+    base = events_rollup(sf_dir, num_partitions=num_partitions)
+
+    def add_hr_marginals(batch: pa.Table) -> pa.Table:
+        # batch = the complete ROLLUP result (repartition(1) upstream;
+        # bounded by contract). The (type, hr) grid rows marginalize
+        # over event_type to produce the hour-only level CUBE adds.
+        finest = batch.filter(
+            pc.and_(
+                pc.not_equal(batch["event_type"], ALL),
+                pc.not_equal(batch["hr"], ALL),
+            )
+        )
+        by_hr = (
+            finest.group_by("hr")
+            .aggregate([("n", "sum"), ("value_cents", "sum")])
+            .rename_columns(["hr", "n", "value_cents"])
+        )
+        hr_level = pa.table(
+            {
+                "event_type": pa.array([ALL] * len(by_hr), pa.string()),
+                "hr": by_hr["hr"],
+                "n": by_hr["n"],
+                "value_cents": by_hr["value_cents"],
+            }
+        )
+        return pa.concat_tables([batch.select(hr_level.column_names),
+                                 hr_level])
+
+    return base.repartition(1).map_batches(
+        add_hr_marginals, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(lpad(CAST(hr AS VARCHAR), 2, '0'), 'ALL') AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr, value
+      FROM events)
+GROUP BY CUBE(event_type, hr)
+ORDER BY event_type, hr
+"""
+
+
 SQL_EVENTS_ROLLUP = """
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(lpad(CAST(hr AS VARCHAR), 2, '0'), 'ALL') AS hr,

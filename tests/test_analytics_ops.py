@@ -14,7 +14,9 @@ from ocr_sam_project_ray.ops.funnel import events_funnel, sql_events_funnel
 from ocr_sam_project_ray.ops.hashclf import (
     _scores, hashclf_score, sql_hashclf_score,
 )
-from ocr_sam_project_ray.ops.rollup import SQL_EVENTS_ROLLUP, events_rollup
+from ocr_sam_project_ray.ops.rollup import (
+    SQL_EVENTS_CUBE, SQL_EVENTS_ROLLUP, events_cube, events_rollup,
+)
 from ocr_sam_project_ray.ops.window import (
     SQL_EVENTS_MOVING_SUM, SQL_EVENTS_TIME_DELTA, events_moving_sum,
     events_time_delta,
@@ -188,6 +190,32 @@ def test_rollup_matches_duckdb():
     )
     exp = _norm(con.sql(SQL_EVENTS_ROLLUP).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cube_matches_duckdb():
+    got = _norm(events_cube(SF).to_pandas())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    )
+    exp = _norm(con.sql(SQL_EVENTS_CUBE).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cube_adds_hour_marginals(tmp_path):
+    rows = [
+        (1, "2024-01-01 05:30", 1, "view", 1.0),
+        (2, "2024-01-01 05:45", 1, "click", 2.0),
+        (3, "2024-01-01 07:00", 2, "view", 4.0),
+    ]
+    sf = _events_fixture(tmp_path, rows)
+    out = events_cube(sf).to_pandas()
+    hr5 = out[(out.event_type == "ALL") & (out.hr == "05")]
+    assert int(hr5.n.iloc[0]) == 2 and int(hr5.value_cents.iloc[0]) == 300
+    # superset of the ROLLUP levels
+    assert len(out[(out.event_type == "ALL") & (out.hr == "ALL")]) == 1
+    assert len(out[(out.event_type == "view") & (out.hr == "ALL")]) == 1
 
 
 def test_rollup_levels_consistent(tmp_path):
