@@ -1037,6 +1037,18 @@ def _q_events_cube(sf_dir: str):
     )
 
 
+def _q_events_value_dispersion(sf_dir: str):
+    """Per-type robust dispersion (ops/dispersion.py): median/quartiles/
+    IQR of integer cents via the grouped-histogram plan; quantile_disc
+    rank rule (shared walk)."""
+    from ocr_sam_project_ray.ops.dispersion import events_value_dispersion
+
+    return (
+        events_value_dispersion(sf_dir)
+        .sort_values("event_type").reset_index(drop=True)
+    )
+
+
 def _q_events_value_trend(sf_dir: str):
     """OLS sufficient statistics of cents-vs-hours per event type
     (ops/suffstats.py): n, Σx, Σy, Σxx, Σxy as exact integers — the
@@ -1698,6 +1710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # * events_cube: CUBE grouping sets (ops/rollup.py); full
         #   DuckDB oracle below.
         "events_cube": _q_events_cube,
+        # * events_value_dispersion: per-type median/IQR of cents
+        #   (ops/dispersion.py); full DuckDB oracle below.
+        "events_value_dispersion": _q_events_value_dispersion,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -2253,6 +2268,7 @@ def _ops_oracles() -> dict[str, str]:
         "events_value_trend": _trend_oracle(),
         "events_per_user_histogram": _degree_hist_oracle(),
         "events_cube": _cube_oracle(),
+        "events_value_dispersion": _dispersion_oracle(),
         # train + score in one statement: corpus trigram counts (HAVING
         # count >= min_count = ops/ngram_lm.MIN_COUNT) then a LEFT JOIN of
         # every gram occurrence against the pruned model. Token model =
@@ -2482,6 +2498,14 @@ def _hashclf_oracle() -> str:
     from ocr_sam_project_ray.ops.hashclf import sql_hashclf_score
 
     return sql_hashclf_score()
+
+
+def _dispersion_oracle() -> str:
+    from ocr_sam_project_ray.ops.dispersion import (
+        SQL_EVENTS_VALUE_DISPERSION,
+    )
+
+    return SQL_EVENTS_VALUE_DISPERSION
 
 
 def _cube_oracle() -> str:
