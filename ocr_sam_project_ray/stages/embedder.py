@@ -1,0 +1,237 @@
+"""Text → embedding actor-pool stage — the missing first-class LLM-data
+component called out by the round-3 review: every embedding consumer in
+this engine (ops/kmeans.semdedup, ops/embed.knn_cosine, ops/bm25.rrf_fuse)
+previously started from a pre-built ``embeddings.parquet``; this stage
+produces that column FROM RAW TEXT inside the pipeline.
+
+Stage shape (the reference's warm-singleton seam re-expressed as a Ray
+Data actor pool — src/ocr_processor/app.py:22-27 keeps its Textract
+client in a module global so one Lambda container pays client setup
+once; here the "client" is an embedding model held by a long-lived
+actor):
+
+- ``Embedder`` is a CALLABLE CLASS passed to ``map_batches`` — the model
+  is loaded ONCE per actor in ``__init__``, never per batch;
+- ``embed_documents`` wires it: ``ds.select_columns([id, text])
+  .map_batches(Embedder, concurrency=(1, n), batch_size=B,
+  num_gpus=g)`` — column-pruned input, actor-pool concurrency, and a
+  GPU knob that becomes real the moment a GPU backend is configured
+  (num_gpus=0 on this CPU-only box);
+- batch_size defaults small-ish (256) because a real encoder is
+  memory-bound on (batch × max_seq); raise it for the hash backend.
+
+Backends:
+
+- ``"hash"`` (default, DETERMINISTIC): a hashed bag-of-tokens projection
+  — the fastText-style lattice of ops/hashclf.py extended from a scalar
+  score to a D-dim vector, fully vectorized (one padded U-view code-point
+  pass per batch, one bincount per batch). Being an exact integer
+  contract, it is SQL-recomputable, so the driver oracle checks this
+  stage end-to-end (query ``doc_embeddings``) — the same
+  deterministic-stand-in policy as stages/scorer.TextScorer.
+- ``"model:<name>"``: loads a real sentence-encoder via
+  sentence-transformers. That library is NOT in this container, so the
+  constructor raises ``NotImplementedError`` with the wiring documented —
+  the Ray-side plumbing (schema, actor signature, batch size, GPU knob,
+  output layout) is identical and is what the tests certify.
+
+Exact integer contract of the hash backend (mirrored by the DuckDB
+oracle in __ray_entry__):
+
+- token model = the engine-wide contract (ops/textstats.tokenize:
+  whitespace split after strip; '' / NULL → no tokens);
+- raw hash    hh(tok) = len(tok)*97 + cp_first*31 + cp_last
+  (code points — DuckDB ascii(substr()) == Python ord, both
+  character-addressed; hh < 1.2e8 for any Unicode token, so
+  hh * 2654435761 < 2^63: exact in BIGINT and int64);
+- bucket      j(tok)  = hh mod D                (D = EMBED_DIM = 16)
+- weight      w(tok)  = (hh * 2654435761) mod 1997 - 998
+- emb[d][j]   = Σ w(tok) over d's tokens (with multiplicity) whose
+  bucket is j; token-less docs get the zero vector.
+
+The weight is taken from the FULL hash (not hh mod D), so two tokens
+sharing a bucket still contribute distinct weights — the usual hashing-
+trick variance reduction (Weinberger et al. 2009), and what makes the
+vectors useful for cosine similarity rather than collapsing to counts.
+
+Scale shape: one stateless-per-batch pass over a column-pruned read —
+no shuffle, no driver traffic; output is (id, list<int64>[D]) which
+downstream ops consume directly (cosine normalizes, so integer vectors
+need no float conversion).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..context import configure_data_context
+from ..ops.textstats import tokenize
+
+EMBED_DIM = 16
+HASH_MULT = 2654435761
+HASH_MOD = 1997
+HASH_SHIFT = 998
+
+
+def hash_embed_batch(texts: list, dim: int = EMBED_DIM) -> np.ndarray:
+    """(n_docs, dim) int64 embedding matrix for one batch — fully
+    vectorized (the ops/hashclf.py U-view shape, widened to a lattice)."""
+    toks_per_doc = [tokenize(t) for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    emb = np.zeros((len(texts), dim), dtype=np.int64)
+    if not flat:
+        return emb
+    n = len(flat)
+    maxlen = max(map(len, flat))
+    if maxlen <= 128:
+        arr = np.asarray(flat, dtype="U")
+        width = arr.dtype.itemsize // 4
+        codes = arr.view(np.uint32).reshape(n, width).astype(np.int64)
+        lens = np.char.str_len(arr).astype(np.int64)
+        first = codes[:, 0]
+        last = codes[np.arange(n), lens - 1]
+    else:
+        # degenerate-token guard: only len/first/last are needed, so a
+        # compact 2-char array keeps memory O(n) when one token is huge
+        lens = np.fromiter(map(len, flat), dtype=np.int64, count=n)
+        fl = np.asarray([t[0] + t[-1] for t in flat], dtype="U2")
+        pair = fl.view(np.uint32).reshape(n, 2).astype(np.int64)
+        first, last = pair[:, 0], pair[:, 1]
+    hh = lens * 97 + first * 31 + last
+    j = hh % dim
+    w = (hh * HASH_MULT) % HASH_MOD - HASH_SHIFT
+    doc_idx = np.repeat(np.arange(len(texts)), counts)
+    # |w| < 1000: float64 bincount sums are integer-exact far beyond any
+    # real per-doc token count (same argument as ops/hashclf._scores)
+    cells = np.bincount(
+        doc_idx * dim + j, weights=w, minlength=len(texts) * dim
+    ).astype(np.int64)
+    return cells.reshape(len(texts), dim)
+
+
+class Embedder:
+    """Actor-pool embedding stage: model in ``__init__``, batches in
+    ``__call__``. One instance == one warm actor."""
+
+    def __init__(
+        self,
+        backend: str = "hash",
+        dim: int = EMBED_DIM,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        out_col: str = "embedding",
+    ):
+        self.dim = dim
+        self.id_col = id_col
+        self.text_col = text_col
+        self.out_col = out_col
+        if backend == "hash":
+            # "load the model": for the deterministic backend the model IS
+            # the (dim, lattice-constant) pair; a trained hashed-feature
+            # model would load its weight table here instead.
+            self._encode = lambda texts: hash_embed_batch(texts, self.dim)
+        elif backend.startswith("model:"):
+            name = backend.split(":", 1)[1]
+            try:
+                from sentence_transformers import SentenceTransformer
+            except ImportError as exc:  # pragma: no cover - no model libs here
+                raise NotImplementedError(
+                    f"backend 'model:{name}' needs sentence-transformers, "
+                    "which is not installed in this environment; the actor "
+                    "wiring is identical — the model would be loaded HERE "
+                    "(once per actor) and self._encode would call "
+                    "model.encode(texts, batch_size=len(texts))"
+                ) from exc
+            model = SentenceTransformer(name)  # pragma: no cover
+            self._encode = lambda texts: np.asarray(  # pragma: no cover
+                model.encode(list(texts))
+            )
+        else:
+            raise ValueError(f"unknown embedder backend: {backend!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = self._encode(batch[self.text_col].to_pylist())
+        if np.issubdtype(mat.dtype, np.integer):
+            value_type = pa.int64()
+        else:  # pragma: no cover - real-model branch
+            value_type = pa.float32()
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), value_type), self.dim
+        ).cast(pa.list_(value_type))
+        return pa.table({self.id_col: batch[self.id_col], self.out_col: emb})
+
+
+def embed_documents(
+    ds: Dataset,
+    backend: str = "hash",
+    dim: int = EMBED_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "embedding",
+    concurrency=(1, 8),
+    batch_size: int = 256,
+    num_gpus: float = 0.0,
+) -> Dataset:
+    """documents → Dataset(id_col, embedding list<int64|float32>[dim]).
+
+    Column-pruned at the read, actor-pool map_batches, GPU knob plumbed
+    through (0 on this box; a GPU backend sets num_gpus=1 and Ray places
+    each actor on a GPU)."""
+    configure_data_context()
+    kwargs = dict(
+        fn_constructor_kwargs=dict(
+            backend=backend, dim=dim, id_col=id_col,
+            text_col=text_col, out_col=out_col,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if num_gpus:
+        kwargs["num_gpus"] = num_gpus  # pragma: no cover - CPU-only box
+    return ds.select_columns([id_col, text_col]).map_batches(Embedder, **kwargs)
+
+
+def sql_doc_embeddings(
+    table: str = "documents",
+    dim: int = EMBED_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB recompute of the hash backend, embedding rendered as the
+    comma-joined int string (list columns cross pandas bridges with
+    unstable reprs — the ops/invindex.py rendering convention)."""
+    return f"""
+        WITH tok AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(trim({text_col}), '\\s+')) AS tok
+          FROM {table} WHERE trim(coalesce({text_col}, '')) <> ''
+        ),
+        h AS (
+          SELECT doc_id,
+                 (length(tok)*97
+                  + ascii(substr(tok, 1, 1))*31
+                  + ascii(substr(tok, length(tok), 1))) AS hh
+          FROM tok
+        ),
+        cell AS (
+          SELECT doc_id, hh % {dim} AS j,
+                 CAST(sum((hh * {HASH_MULT}) % {HASH_MOD}
+                          - {HASH_SHIFT}) AS BIGINT) AS v
+          FROM h GROUP BY doc_id, hh % {dim}
+        ),
+        dims AS (SELECT unnest(range({dim})) AS j),
+        grid AS (
+          SELECT d.{id_col} AS doc_id, dims.j AS j,
+                 coalesce(c.v, 0) AS v
+          FROM {table} d CROSS JOIN dims
+          LEFT JOIN cell c ON c.doc_id = d.{id_col} AND c.j = dims.j
+        )
+        SELECT doc_id,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS embedding
+        FROM grid GROUP BY doc_id ORDER BY doc_id
+    """

@@ -1,7 +1,10 @@
 """Driver-contract simulator: runs entry() and every queries() entry against
 its oracle_sql() via DuckDB, comparing row count, column names, and
 order-insensitive values — the same comparison shape the external driver
-applies at sf=0.01. Usage: python tools/check_oracle.py [sf_dir] [num_cpus]
+applies at sf=0.01.
+Usage: python tools/check_oracle.py [sf_dir] [num_cpus] [only]
+  only: optional comma-separated query names — check just those (skips
+        the entry() smoke) for fast iteration on one op.
 """
 
 import sys
@@ -37,10 +40,12 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
 
-    ds = E.entry()
-    n = ds.count() if hasattr(ds, "count") else len(ds)
-    print(f"entry(): {n} rows")
-    assert n >= 0
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only is None:
+        ds = E.entry()
+        n = ds.count() if hasattr(ds, "count") else len(ds)
+        print(f"entry(): {n} rows")
+        assert n >= 0
 
     con = duckdb.connect()
     for view in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -52,6 +57,8 @@ def main():
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         got = fn(sf_dir)
         if hasattr(got, "to_pandas"):
             got = got.to_pandas()
