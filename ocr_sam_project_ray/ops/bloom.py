@@ -26,19 +26,27 @@ DEFAULT_M_BITS = 1 << 20  # 128 KB packed; ~0.1% fpr at 50k members, k=4
 DEFAULT_K = 4
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+# siphash key pinned explicitly (exactly 16 bytes, pandas contract)
+_BLOOM_HASH_KEY = "ocr_sam_bloom_16"
 
 
 def _positions_str(values: list, m_bits: int, k: int) -> np.ndarray:
     """(n, k) bit positions for string values. Base hash is pandas'
-    vectorized siphash (fixed default key — deterministic across
-    processes, unlike builtin ``hash``); h1/h2 double-hashing strides
-    are splitmix64 finalizes of it. Replaces the earlier per-string
-    crc32 Python loop — same filter semantics (no false negatives),
-    different (still deterministic) bit layout."""
+    vectorized siphash with an EXPLICIT hash key (pinned below, so the
+    layout no longer rides on pandas' default-key choice — deterministic
+    across processes and pandas versions, unlike builtin ``hash``);
+    h1/h2 double-hashing strides are splitmix64 finalizes of it.
+    Replaces the earlier per-string crc32 Python loop — same filter
+    semantics (no false negatives), different (still deterministic) bit
+    layout. NOTE: bitmaps are build-and-probe WITHIN one run by
+    contract; do not persist them across code versions — any change to
+    the key or mix silently voids membership guarantees."""
     import pandas as pd
 
     arr = np.array(["" if v is None else v for v in values], dtype=object)
-    base = pd.util.hash_array(arr, categorize=False)  # uint64, C-speed
+    base = pd.util.hash_array(
+        arr, categorize=False, hash_key=_BLOOM_HASH_KEY
+    )  # uint64, C-speed
 
     def _mix(x: np.ndarray) -> np.ndarray:
         with np.errstate(over="ignore"):

@@ -186,9 +186,22 @@ def bm25_topk(
             }
         )
 
+    # materialize the bounded partials (≤ k × n_blocks rows by contract)
+    # and short-circuit when NOTHING matched: an all-empty-blocks input
+    # loses its schema through the hash shuffle (the Ray 2.49 empty-block
+    # trap) and a column-less merge frame would KeyError downstream
     partials = ds.map_batches(
         local_topk, batch_format="pyarrow", batch_size=1024
-    )
+    ).materialize()
+    if partials.count() == 0:
+        return pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "score_ppm": pa.array([], pa.int64()),
+            }
+        )
 
     def final(g):
         g = g.sort_values(
@@ -201,9 +214,20 @@ def bm25_topk(
         partials.groupby("qid", num_partitions=2)
         .map_groups(final, batch_format="pandas")
         .to_pandas()
-        .sort_values(["qid", "rank"])
-        .reset_index(drop=True)
     )
+    if merged.empty:
+        # no document matched any query: an all-empty partials dataset
+        # can surface as a column-less frame — return the typed empty
+        # result instead of letting the projection KeyError
+        return pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "score_ppm": pa.array([], pa.int64()),
+            }
+        )
+    merged = merged.sort_values(["qid", "rank"]).reset_index(drop=True)
     merged = merged[["qid", "doc_id", "rank", "score_ppm"]]
     return pa.Table.from_pandas(merged, preserve_index=False)
 
@@ -214,8 +238,10 @@ def sql_bm25_topk(
 ) -> str:
     """DuckDB recompute of the full contract — same tokenizer rendering
     as sql_tfidf_topk, same left-associative double sequence."""
+    # terms land inside SQL string literals: double any single quote
+    # (general-API hardening; the driver's fixed query set has none)
     values = ", ".join(
-        f"({qid}, '{term}')"
+        "({}, '{}')".format(qid, term.replace("'", "''"))
         for qid, tlist in enumerate(_query_terms(queries))
         for term in tlist
     )

@@ -27,6 +27,7 @@ from ray.data import Dataset
 from ..context import configure_data_context
 
 ALL = "ALL"
+_SEED = "__rollup_seed__"
 
 
 def events_rollup(sf_dir: str, num_partitions: int = 2) -> Dataset:
@@ -62,9 +63,30 @@ def events_rollup(sf_dir: str, num_partitions: int = 2) -> Dataset:
         )
     )
 
+    # Empty-input boundary: Ray skips map_batches entirely on a zero-row
+    # dataset, while SQL ROLLUP always emits the grand-total row. A
+    # sentinel seed row (filtered back out below; n=0 contributes
+    # nothing) guarantees super_levels runs exactly once even on an
+    # empty events table, emitting (ALL, ALL, 0, 0) — the engine's
+    # integer-cents contract has no NULL, so the empty-corpus total
+    # renders as 0 where SQL SUM would be NULL (documented divergence,
+    # reachable only at zero input rows).
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([_SEED], pa.string()),
+                "hr": pa.array([-1], pa.int64()),
+                "n": pa.array([0], pa.int64()),
+                "value_cents": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    finest = finest.union(seed)
+
     def super_levels(batch: pa.Table) -> pa.Table:
         # batch = the complete finest grid (repartition(1) upstream;
-        # bounded by contract at |types| x 24 rows)
+        # bounded by contract at |types| x 24 rows) + the seed row
+        batch = batch.filter(pc.not_equal(batch["event_type"], _SEED))
         hr_s = pc.utf8_lpad(
             pc.cast(batch["hr"], pa.string()), width=2, padding="0"
         )

@@ -277,3 +277,16 @@ def test_hashclf_unicode_parity():
     )
     exp = _norm(con.sql(sql_hashclf_score()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_rollup_and_cube_empty_input(tmp_path):
+    """Empty-input boundary (round-3 advisor): SQL ROLLUP/CUBE emit one
+    grand-total row on an empty table; the seed row makes the engine do
+    the same (value_cents renders 0 — the integer contract has no NULL)."""
+    sf = _events_fixture(tmp_path, [])
+    out = events_rollup(sf).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].tolist() == ["ALL", "ALL", 0, 0]
+    cube = events_cube(sf).to_pandas()
+    assert len(cube) == 1
+    assert cube.iloc[0].tolist() == ["ALL", "ALL", 0, 0]

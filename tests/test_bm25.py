@@ -129,3 +129,30 @@ def test_parity_bound_guard():
 
     with pytest.raises(ValueError, match="2\\^53"):
         _contribution(tf=2**20, df=1, dl=2**20, n=2**20, t=2**40)
+
+
+def test_bm25_no_match_returns_typed_empty():
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta"], pa.string()),
+    }))
+    t = bm25_topk(ds, ["zzz qqq"], k=5)
+    assert t.num_rows == 0
+    assert t.column_names == ["qid", "doc_id", "rank", "score_ppm"]
+    assert t.schema.field("score_ppm").type == pa.int64()
+
+
+def test_sql_bm25_escapes_quotes():
+    sql = sql_bm25_topk(["o'brien's term"], k=3)
+    # every literal quote inside the VALUES list must be doubled
+    assert "'o''brien''s'" in sql
+    import duckdb
+    con = duckdb.connect()
+    con.register("documents", pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["o'brien's term here"], pa.string()),
+    }))
+    rows = con.execute(sql).fetchall()  # must parse and run
+    assert rows and rows[0][1] == 1
