@@ -42,9 +42,12 @@ Scale shape:
    row per block (n_docs, total_tokens, df vector over the bounded
    query-term set); the driver folds block partials (bounded by block
    count — the ops/bloom.py take_all convention);
-2. scoring pass: {term: df} + (N, T) are ``ray.put`` once; every batch
-   tokenizes locally, scores only query terms, and emits its LOCAL
-   top-k per query (k x n_blocks rows total);
+2. scoring pass: (live terms, idf vector, query-term mask, N, T) are
+   ``ray.put`` once; every batch builds its (docs x terms) tf matrix
+   with one hash-indexer pass + one bincount, forms the contribution
+   matrix elementwise, reduces to per-(query, doc) scores with one
+   int64 matmul, and emits its LOCAL top-k per query (k x n_blocks
+   rows total) — no per-doc Python loop anywhere in the hot path;
 3. merge: ``groupby(qid).map_groups`` per-query reduction — scales
    with query count, never corpus size (same as embed._merge_topk).
 
@@ -65,7 +68,7 @@ from __future__ import annotations
 
 import heapq
 import math
-from collections import Counter, defaultdict
+from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
@@ -84,27 +87,51 @@ def _query_terms(queries: list[str]) -> list[list[str]]:
     return [sorted(set(tokenize(q))) for q in queries]
 
 
+def _tf_matrix(
+    texts: list, terms_index
+) -> tuple[np.ndarray, np.ndarray]:
+    """(tf[n_docs, n_terms] int64, dl[n_docs] int64) for one batch —
+    the vectorized kernel both passes share. Tokens are mapped to the
+    bounded query-term vocabulary with one C-speed hash lookup
+    (pd.Index.get_indexer), counts come from one bincount; no per-doc
+    Counter, no per-(doc, term) Python loop (the ops/hashclf.py idiom)."""
+    toks_per_doc = [tokenize(t) for t in texts]
+    dl = np.fromiter(
+        (len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts)
+    )
+    nt = len(terms_index)
+    tf = np.zeros((len(texts), nt), dtype=np.int64)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    if flat and nt:
+        tid = terms_index.get_indexer(np.asarray(flat, dtype=object))
+        hit = tid >= 0
+        if hit.any():
+            doc_idx = np.repeat(np.arange(len(texts)), dl)
+            cells = np.bincount(
+                doc_idx[hit] * nt + tid[hit], minlength=len(texts) * nt
+            )
+            tf = cells.reshape(len(texts), nt).astype(np.int64)
+    return tf, dl
+
+
 def _corpus_stats(
     ds: Dataset, terms: list[str], text_col: str
 ) -> tuple[int, int, dict[str, int]]:
     """(N, T, {term: df}) in one streaming pass; one partial row per
     block lands on the driver (bounded by block count)."""
-    term_set = set(terms)
+    import pandas as pd
+
     order = {t: i for i, t in enumerate(terms)}
+    idx = pd.Index(terms, dtype=object)
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = np.zeros(len(order), dtype=np.int64)
-        total = 0
         texts = batch[text_col].to_pylist()
-        for tx in texts:
-            toks = tokenize(tx)
-            total += len(toks)
-            for t in term_set.intersection(toks):
-                df[order[t]] += 1
+        tf, dl = _tf_matrix(texts, idx)
+        df = (tf > 0).sum(axis=0).astype(np.int64)
         return pa.table(
             {
                 "n_docs": pa.array([len(texts)], pa.int64()),
-                "total_tokens": pa.array([total], pa.int64()),
+                "total_tokens": pa.array([int(dl.sum())], pa.int64()),
                 "df": pa.array([df.tolist()], pa.list_(pa.int64())),
             }
         )
@@ -124,7 +151,9 @@ def _corpus_stats(
 
 def _contribution(tf: int, df: int, dl: int, n: int, t: int) -> int:
     """floor(idf_ratio * tf_ratio * 1e6 + 0.5) — the exact left-assoc
-    IEEE sequence the SQL oracle replays (module docstring)."""
+    IEEE sequence the SQL oracle replays (module docstring). Scalar
+    reference implementation; the batch path is _contrib_matrix (they
+    are equality-tested in test_bm25)."""
     idf = (2 * (n - df) + 1) / (2 * df + 1)
     tf_num = 20 * tf * t
     tf_den = 8 * tf * t + 3 * t + 9 * dl * n
@@ -134,6 +163,41 @@ def _contribution(tf: int, df: int, dl: int, n: int, t: int) -> int:
             "the bit-parity rational scoring; use the log-idf float path"
         )
     return math.floor(idf * (tf_num / tf_den) * 1e6 + 0.5)
+
+
+def _contrib_matrix(
+    tf: np.ndarray, dl: np.ndarray, idf: np.ndarray, n: int, t: int
+) -> np.ndarray:
+    """Vectorized _contribution over a (n_docs, n_terms) tf matrix —
+    the SAME left-associative IEEE double sequence elementwise, so the
+    integers are bit-identical to the scalar path and the SQL oracle.
+
+    Overflow discipline: products are formed in int64 AFTER a Python-int
+    pre-check on the maximal cell (20*max_tf*t resp. den(max_tf, max_dl))
+    against 2^63 — if the max fits in int64, every cell does, so the
+    elementwise 2^53 parity guard below sees true values, never wrapped
+    ones. The scalar path's guard is per-actual-cell; this pre-check
+    only triggers >2^63 (already far beyond the 2^53 raise)."""
+    max_tf = int(tf.max()) if tf.size else 0
+    max_dl = int(dl.max()) if dl.size else 0
+    if (20 * max_tf * t >= 2**63
+            or 8 * max_tf * t + 3 * t + 9 * max_dl * n >= 2**63):
+        raise ValueError(
+            "bm25 integer contract exceeded 2^53 — corpus too large for "
+            "the bit-parity rational scoring; use the log-idf float path"
+        )
+    tf_num = 20 * tf * t
+    tf_den = 8 * tf * t + 3 * t + 9 * dl[:, None] * n
+    active = tf > 0
+    if np.any(active & ((tf_num >= _PARITY_BOUND) | (tf_den >= _PARITY_BOUND))):
+        raise ValueError(
+            "bm25 integer contract exceeded 2^53 — corpus too large for "
+            "the bit-parity rational scoring; use the log-idf float path"
+        )
+    c = np.floor(
+        idf[None, :] * (tf_num / tf_den) * 1e6 + 0.5
+    ).astype(np.int64)
+    return np.where(active, c, 0)
 
 
 def bm25_topk(
@@ -146,43 +210,72 @@ def bm25_topk(
     """Top-k BM25 docs per query. ``queries[i]`` has qid = i. Returns an
     arrow table (qid, doc_id, rank, score_ppm), k rows max per query,
     ordered (qid ASC, rank ASC)."""
+    import pandas as pd
+
+    # prune to the two live columns before either pass: the stats pass
+    # needs only text, the scoring pass (id, text) — nothing else leaves
+    # the read
+    ds = ds.select_columns([id_col, text_col])
     qterms = _query_terms(queries)
     all_terms = sorted({t for qt in qterms for t in qt})
-    n_docs, total_tokens, df_map = _corpus_stats(ds, all_terms, text_col)
+    n_docs, total_tokens, df_map = _corpus_stats(
+        ds.select_columns([text_col]), all_terms, text_col
+    )
+    # only terms that occur in the corpus can score; the bounded
+    # (query x term) structure is precomputed once and broadcast
+    live_terms = [t for t in all_terms if t in df_map]
+    idf = np.array(
+        [(2 * (n_docs - df_map[t]) + 1) / (2 * df_map[t] + 1)
+         for t in live_terms],
+        dtype=np.float64,
+    )
+    qmask = np.zeros((len(queries), len(live_terms)), dtype=np.int64)
+    pos = {t: j for j, t in enumerate(live_terms)}
+    for qid, tlist in enumerate(qterms):
+        for term in tlist:
+            if term in pos:
+                qmask[qid, pos[term]] = 1
     # broadcast once, read per task — never re-shipped per batch
-    ref = ray.put((qterms, df_map, n_docs, total_tokens))
+    ref = ray.put((live_terms, idf, qmask, n_docs, total_tokens))
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        qt, dfm, n, t = ray.get(ref)
-        per_q: dict[int, list] = defaultdict(list)
-        for i, tx in zip(batch[id_col].to_pylist(),
-                         batch[text_col].to_pylist()):
-            toks = tokenize(tx)
-            dl = len(toks)
-            cnt = Counter(tok for tok in toks if tok in dfm)
-            if not cnt:
-                continue
-            for qid, tlist in enumerate(qt):
-                score, hit = 0, False
-                for term in tlist:
-                    tf = cnt.get(term, 0)
-                    if not tf:
-                        continue
-                    hit = True
-                    score += _contribution(tf, dfm[term], dl, n, t)
-                if hit:
-                    per_q[qid].append((-score, i))
+        terms, idf_v, qm, n, t = ray.get(ref)
+        empty = pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score_ppm": pa.array([], pa.int64()),
+            }
+        )
+        if not terms or t == 0:
+            return empty
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tf, dl = _tf_matrix(texts, pd.Index(terms, dtype=object))
+        c = _contrib_matrix(tf, dl, idf_v, n, t)
+        # per-(query, doc) integer score + hit mask via two int64 matmuls
+        # (exact: contributions < 2^53, bounded term count per query)
+        scores = c @ qm.T                       # (n_docs, n_queries)
+        hits = ((tf > 0).astype(np.int64) @ qm.T) > 0
         out_q, out_d, out_s = [], [], []
-        for qid, rows in per_q.items():
-            for neg, did in heapq.nsmallest(k, rows):
-                out_q.append(qid)
-                out_d.append(did)
-                out_s.append(-neg)
+        for qid in range(qm.shape[0]):
+            h = np.flatnonzero(hits[:, qid])
+            if h.size == 0:
+                continue
+            s = scores[h, qid]
+            # local top-k by (score DESC, doc_id ASC): lexsort is stable
+            order = np.lexsort((ids[h], -s))[:k]
+            sel = h[order]
+            out_q.append(np.full(sel.size, qid, dtype=np.int64))
+            out_d.append(ids[sel].astype(np.int64))
+            out_s.append(scores[sel, qid])
+        if not out_q:
+            return empty
         return pa.table(
             {
-                "qid": pa.array(out_q, pa.int64()),
-                "doc_id": pa.array(out_d, pa.int64()),
-                "score_ppm": pa.array(out_s, pa.int64()),
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "score_ppm": pa.array(np.concatenate(out_s), pa.int64()),
             }
         )
 

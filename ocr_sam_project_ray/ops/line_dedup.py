@@ -64,32 +64,51 @@ BROADCAST_MAX_LINES = 5_000_000
 
 def _occurrence_combiner(id_col: str, text_col: str):
     """Per-batch combiner: one row per distinct line in the batch with its
-    in-batch winner (min (id, idx) — docs iterated in ascending id order,
-    lines in ascending idx order, so first-seen IS the min) and the
-    in-batch occurrence count."""
+    in-batch winner (min (id, idx) — docs sorted ascending by id, lines
+    ascending by idx, so the first traversal hit IS the min) and the
+    in-batch occurrence count.
+
+    Fully vectorized (round-4; replaces the per-line dict loop): one
+    Arrow split + flatten, positions by numpy offset arithmetic, winner
+    + count via one Arrow group_by (min traversal index, count_all)."""
 
     def combine(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        best: dict[str, tuple[Any, int]] = {}
-        occ: dict[str, int] = {}
-        for k in sorted(range(len(ids)), key=lambda j: ids[j]):
-            did = ids[k]
-            for i, line in enumerate((texts[k] or "").split("\n")):
-                n = occ.get(line)
-                if n is None:
-                    occ[line] = 1
-                    best[line] = (did, i)
-                else:
-                    occ[line] = n + 1
-        lines = list(occ.keys())
         id_type = batch.schema.field(id_col).type
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "line": pa.array([], pa.string()),
+                    "win_id": pa.array([], id_type),
+                    "win_idx": pa.array([], pa.int64()),
+                    "n_occ": pa.array([], pa.int64()),
+                }
+            )
+        # ids are unique per row (doc key), so any sort by id yields the
+        # (id, idx)-min-first traversal
+        batch = batch.take(pc.sort_indices(batch[id_col]))
+        texts = pc.fill_null(batch[text_col], "")
+        parts = pc.split_pattern(texts, pattern="\n")
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        total = int(counts.sum())
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        rep_ids = np.repeat(ids_np, counts)
+        offs = np.cumsum(counts) - counts
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        t = pa.table(
+            {"line": flat,
+             "trav": pa.array(np.arange(total, dtype=np.int64), pa.int64())}
+        )
+        agg = t.group_by("line").aggregate([("trav", "min"), ([], "count_all")])
+        trav_min = agg["trav_min"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "line": pa.array(lines, pa.string()),
-                "win_id": pa.array([best[l][0] for l in lines], id_type),
-                "win_idx": pa.array([best[l][1] for l in lines], pa.int64()),
-                "n_occ": pa.array([occ[l] for l in lines], pa.int64()),
+                "line": agg["line"],
+                "win_id": pa.array(rep_ids[trav_min].tolist(), id_type),
+                "win_idx": pa.array(pos[trav_min], pa.int64()),
+                "n_occ": pc.cast(agg["count_all"], pa.int64()),
             }
         )
 
@@ -138,41 +157,82 @@ def line_winners(
                                 batch_size=None)
 
 
-# per-worker-process cache of the deserialized dup-winner dict (a plain
-# dict is NOT zero-copy, so ray.get per batch would re-deserialize it)
-_DUP_CACHE: dict[Any, dict] = {}
+# per-worker-process cache of the winner-side lookup structure (the
+# pd.Index hash table is the expensive part, so build it once per worker,
+# not once per batch)
+_DUP_CACHE: dict[Any, tuple] = {}
+
+
+def _split_flat(batch: pa.Table, id_col: str, text_col: str):
+    """Shared vectorized explode: (flat_lines ChunkedArray, rep_ids np,
+    pos np, counts np) — one Arrow split + flatten, positions via numpy
+    offset arithmetic (no per-line Python loop)."""
+    texts = pc.fill_null(batch[text_col], "")
+    parts = pc.split_pattern(texts, pattern="\n")
+    counts = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    total = int(counts.sum())
+    ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+    rep_ids = np.repeat(ids_np, counts)
+    offs = np.cumsum(counts) - counts
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+    return flat, rep_ids, pos, counts
+
+
+def _keep_mask(
+    flat_np: np.ndarray, rep_ids: np.ndarray, pos: np.ndarray,
+    dup_index, win_id: np.ndarray, win_idx: np.ndarray,
+) -> np.ndarray:
+    """keep = line not duplicated, or this occurrence IS the winner."""
+    if len(dup_index) == 0:
+        return np.ones(len(flat_np), dtype=bool)
+    gi = dup_index.get_indexer(flat_np)
+    safe = np.where(gi < 0, 0, gi)
+    return (gi < 0) | ((win_id[safe] == rep_ids) & (win_idx[safe] == pos))
+
+
+def _join_kept(
+    flat, keep: np.ndarray, counts: np.ndarray
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(text_deduped, n_kept, n_dropped) per doc — the per-doc join is
+    one Arrow binary_join over a rebuilt list array, not a Python loop."""
+    seg_starts = np.cumsum(counts) - counts
+    kept_per_doc = np.add.reduceat(keep.astype(np.int64), seg_starts) \
+        if len(counts) else np.zeros(0, dtype=np.int64)
+    dropped = counts - kept_per_doc
+    flat_kept = flat.filter(pa.array(keep))
+    if isinstance(flat_kept, pa.ChunkedArray):
+        flat_kept = flat_kept.combine_chunks()
+    offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), flat_kept
+    )
+    return pc.binary_join(lst, "\n"), kept_per_doc, dropped
 
 
 def _apply_broadcast(ds: Dataset, dup_ref, id_col: str, text_col: str) -> Dataset:
     def apply(batch: pa.Table) -> pa.Table:
-        dup = _DUP_CACHE.get(dup_ref.hex())
-        if dup is None:
-            dup = ray.get(dup_ref)
+        import pandas as pd
+
+        cached = _DUP_CACHE.get(dup_ref.hex())
+        if cached is None:
+            lines, win_id, win_idx = ray.get(dup_ref)
+            cached = (pd.Index(lines, dtype=object), win_id, win_idx)
             _DUP_CACHE.clear()
-            _DUP_CACHE[dup_ref.hex()] = dup
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_text: list[str] = []
-        out_kept: list[int] = []
-        out_drop: list[int] = []
-        for did, text in zip(ids, texts):
-            kept: list[str] = []
-            dropped = 0
-            for i, line in enumerate((text or "").split("\n")):
-                w = dup.get(line)
-                if w is None or w == (did, i):
-                    kept.append(line)
-                else:
-                    dropped += 1
-            out_text.append("\n".join(kept))
-            out_kept.append(len(kept))
-            out_drop.append(dropped)
+            _DUP_CACHE[dup_ref.hex()] = cached
+        dup_index, win_id, win_idx = cached
+        flat, rep_ids, pos, counts = _split_flat(batch, id_col, text_col)
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        keep = _keep_mask(flat_np, rep_ids, pos, dup_index, win_id, win_idx)
+        text, kept_per_doc, dropped = _join_kept(flat, keep, counts)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "text_deduped": pa.array(out_text, pa.string()),
-                "n_lines_kept": pa.array(out_kept, pa.int64()),
-                "n_lines_dropped": pa.array(out_drop, pa.int64()),
+                "text_deduped": text,
+                "n_lines_kept": pa.array(kept_per_doc, pa.int64()),
+                "n_lines_dropped": pa.array(dropped, pa.int64()),
             }
         )
 
@@ -191,21 +251,14 @@ def _apply_distributed(
     id_type_holder: dict[str, pa.DataType] = {}
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        o_id, o_i, o_line = [], [], []
-        for did, text in zip(ids, texts):
-            for i, line in enumerate((text or "").split("\n")):
-                o_id.append(did)
-                o_i.append(i)
-                o_line.append(line)
         id_type = batch.schema.field(id_col).type
+        flat, rep_ids, pos, _counts = _split_flat(batch, id_col, text_col)
         return pa.table(
             {
-                "occ_id": pa.array(o_id, id_type),
-                "occ_idx": pa.array(o_i, pa.int64()),
-                "line": pa.array(o_line, pa.string()),
-                "side": pa.array([0] * len(o_id), pa.int8()),
+                "occ_id": pa.array(rep_ids.tolist(), id_type),
+                "occ_idx": pa.array(pos, pa.int64()),
+                "line": flat,
+                "side": pa.array(np.zeros(len(pos), dtype=np.int8), pa.int8()),
             }
         )
 
@@ -230,21 +283,22 @@ def _apply_distributed(
         if batch.num_rows == 0:
             # empty shuffle bundles may carry no schema at all (Ray 2.49)
             return batch
+        import pandas as pd
+
         is_win = pc.equal(batch["side"], 1)
         wtbl = batch.filter(is_win)
         otbl = batch.filter(pc.invert(is_win))
-        dup = {
-            l: (d, i)
-            for l, d, i in zip(wtbl["line"].to_pylist(),
-                               wtbl["occ_id"].to_pylist(),
-                               wtbl["occ_idx"].to_pylist())
-        }
-        keep = [
-            (w := dup.get(l)) is None or w == (d, i)
-            for l, d, i in zip(otbl["line"].to_pylist(),
-                               otbl["occ_id"].to_pylist(),
-                               otbl["occ_idx"].to_pylist())
-        ]
+        dup_index = pd.Index(
+            wtbl["line"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        keep = _keep_mask(
+            otbl["line"].to_numpy(zero_copy_only=False),
+            otbl["occ_id"].to_numpy(zero_copy_only=False),
+            otbl["occ_idx"].to_numpy(zero_copy_only=False),
+            dup_index,
+            wtbl["occ_id"].to_numpy(zero_copy_only=False),
+            wtbl["occ_idx"].to_numpy(zero_copy_only=False),
+        )
         return pa.table(
             {"occ_id": otbl["occ_id"], "occ_idx": otbl["occ_idx"],
              "line": otbl["line"], "keep": pa.array(keep, pa.bool_())}
@@ -261,34 +315,27 @@ def _apply_distributed(
             batch, sort_keys=[("occ_id", "ascending"), ("occ_idx", "ascending")]
         )
         s = batch.take(idx)
-        ids = s["occ_id"].to_pylist()
-        lines = s["line"].to_pylist()
-        keeps = s["keep"].to_pylist()
-        out_id, out_text, out_kept, out_drop = [], [], [], []
-        cur = ids[0]
-        kept: list[str] = []
-        dropped = 0
-        for did, line, k in zip(ids, lines, keeps):
-            if did != cur:
-                out_id.append(cur)
-                out_text.append("\n".join(kept))
-                out_kept.append(len(kept))
-                out_drop.append(dropped)
-                cur, kept, dropped = did, [], 0
-            if k:
-                kept.append(line)
-            else:
-                dropped += 1
-        out_id.append(cur)
-        out_text.append("\n".join(kept))
-        out_kept.append(len(kept))
-        out_drop.append(dropped)
+        ids = s["occ_id"].combine_chunks()
+        n = len(s)
+        # doc boundaries: run-length on the sorted id column (vectorized
+        # shift-compare, the _resolve_block idiom)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = ~pc.equal(
+                ids.slice(1), ids.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        doc_start = np.flatnonzero(first)
+        counts = np.diff(np.append(doc_start, n)).astype(np.int64)
+        keep = s["keep"].to_numpy(zero_copy_only=False)
+        text, kept_per_doc, dropped = _join_kept(
+            s["line"].combine_chunks(), keep, counts
+        )
         return pa.table(
             {
-                id_col: pa.array(out_id, s.schema.field("occ_id").type),
-                "text_deduped": pa.array(out_text, pa.string()),
-                "n_lines_kept": pa.array(out_kept, pa.int64()),
-                "n_lines_dropped": pa.array(out_drop, pa.int64()),
+                id_col: ids.take(pa.array(doc_start, pa.int64())),
+                "text_deduped": text,
+                "n_lines_kept": pa.array(kept_per_doc, pa.int64()),
+                "n_lines_dropped": pa.array(dropped, pa.int64()),
             }
         )
 
@@ -329,12 +376,12 @@ def line_dedup(
                           "win_id": pa.array([], pa.int64()),
                           "win_idx": pa.array([], pa.int64())})]
         )
-        dup = {
-            l: (d, i)
-            for l, d, i in zip(tbl["line"].to_pylist(),
-                               tbl["win_id"].to_pylist(),
-                               tbl["win_idx"].to_pylist())
-        }
-        dup_ref = ray.put(dup)
+        dup_ref = ray.put(
+            (
+                tbl["line"].to_numpy(zero_copy_only=False),
+                tbl["win_id"].to_numpy(zero_copy_only=False),
+                tbl["win_idx"].to_numpy(zero_copy_only=False),
+            )
+        )
         return _apply_broadcast(ds, dup_ref, id_col, text_col)
     return _apply_distributed(ds, dup_winners, id_col, text_col, num_partitions)

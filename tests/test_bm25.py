@@ -156,3 +156,39 @@ def test_sql_bm25_escapes_quotes():
     }))
     rows = con.execute(sql).fetchall()  # must parse and run
     assert rows and rows[0][1] == 1
+
+
+def test_contrib_matrix_equals_scalar():
+    """The vectorized batch kernel must be bit-identical to the scalar
+    left-associative reference for every cell."""
+    import numpy as np
+
+    from ocr_sam_project_ray.ops.bm25 import _contrib_matrix, _contribution
+
+    rng = np.random.default_rng(7)
+    n_docs, n_terms = 23, 5
+    tf = rng.integers(0, 6, size=(n_docs, n_terms)).astype(np.int64)
+    dl = rng.integers(1, 400, size=n_docs).astype(np.int64)
+    n, t = 5000, 800_000
+    dfs = rng.integers(1, n, size=n_terms)
+    idf = (2 * (n - dfs) + 1) / (2 * dfs + 1)
+    c = _contrib_matrix(tf, dl, idf, n, t)
+    for i in range(n_docs):
+        for j in range(n_terms):
+            exp = (
+                _contribution(int(tf[i, j]), int(dfs[j]), int(dl[i]), n, t)
+                if tf[i, j] > 0 else 0
+            )
+            assert c[i, j] == exp
+
+
+def test_contrib_matrix_parity_guard():
+    import numpy as np
+    import pytest as _pt
+
+    from ocr_sam_project_ray.ops.bm25 import _contrib_matrix
+
+    tf = np.array([[10**9]], dtype=np.int64)
+    dl = np.array([10**9], dtype=np.int64)
+    with _pt.raises(ValueError, match="2\\^53"):
+        _contrib_matrix(tf, dl, np.array([1.0]), 10**9, 10**9)
