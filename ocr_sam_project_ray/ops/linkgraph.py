@@ -39,13 +39,25 @@ contract rule; see ops/tfidf.py for the rationale):
   simplification; ranks remain a strict partial order on link mass);
 - a fixed number of iterations (default 5), unrolled in the SQL oracle.
 
-Scale plan: the EDGE TABLE streams (per-batch Arrow group-by combiner →
-one (src,dst) shuffle); the RANK VECTOR is bounded by |V| = distinct
-hosts, held as one numpy array on the driver and broadcast per iteration
-(``ray.put`` once per round) — 5M hosts ≈ 40 MB, the same explicit bound
-as ops/ranking.py. Above ``max_hosts`` the op raises with the documented
-remedy (pre-aggregate hosts to registered domains, or raise the bound)
-rather than silently degrading.
+Scale plan — TWO equality-tested plans behind one entry point:
+
+- ``plan='driver'`` (auto below ``max_hosts``): the EDGE TABLE streams
+  (per-batch Arrow group-by combiner → one (src,dst) shuffle); the
+  rank vector is bounded by |V| = distinct hosts, held as one numpy
+  array on the driver and broadcast per iteration (``ray.put`` once
+  per round) — 5M hosts ≈ 40 MB, the same explicit bound as
+  ops/ranking.py. Fastest when |V| fits.
+- ``plan='distributed'`` (auto above ``max_hosts``; round 4): NO
+  driver-held rank state — ranks live in a co-partitioned
+  (host, rank) Dataset. Each iteration: tag-union edges + ranks +
+  out-degrees, co-partition on the source host, compute the exact
+  integer contribution partition-locally (pd.Index hash probes, fully
+  vectorized), groupby-sum in-mass on the destination host, and
+  co-partition the node set with the in-mass to apply the damped
+  update. Driver state is two scalars (|V|, teleport); per-iteration
+  cost is two key shuffles over (host, int64) rows — web-scale host
+  cardinality streams. Iterations are checkpointed (materialize) so
+  the lineage stays one round deep (the ops/bpe_learn.py convention).
 
 The reference has no graph surface at all; this op is part of the
 engine's beyond-reference web-scale inventory (SURVEY §2.6).
@@ -140,21 +152,39 @@ def host_linkgraph(ds: Dataset, num_partitions: int = 4) -> Dataset:
 
 def host_pagerank(
     ds: Dataset, iters: int = 5, num_partitions: int = 4,
-    max_hosts: int = MAX_HOSTS,
+    max_hosts: int = MAX_HOSTS, plan: str = "auto",
 ) -> Dataset:
     """pages → Dataset(host, rank): ``iters`` rounds of the fixed-point
     PageRank contract over the host link graph.
 
-    Exactly ONE shuffle (inside host_linkgraph — the integer contribution
-    ``n*(r//o) + (n*(r%o))//o`` is not additive in n, so edges must be
-    globally aggregated before the recurrence). Everything after streams:
-    node set, out-degree and each iteration's in-mass are per-block Arrow
-    partials (each pre-collapsed to ≤ |V| rows) folded into the driver's
-    rank vector with ``np.add.at`` — the shuffle-free fold is exact
-    because integer sums commute. Driver state is bounded by ``max_hosts``
-    (raise above, with the pre-aggregate-to-registered-domain remedy)."""
+    ``plan='driver'``: exactly ONE shuffle (inside host_linkgraph — the
+    integer contribution ``n*(r//o) + (n*(r%o))//o`` is not additive in
+    n, so edges must be globally aggregated before the recurrence).
+    Everything after streams: node set, out-degree and each iteration's
+    in-mass are per-block Arrow partials (each pre-collapsed to ≤ |V|
+    rows) folded into the driver's rank vector with ``np.add.at`` — the
+    shuffle-free fold is exact because integer sums commute. Driver
+    state bounded by ``max_hosts``.
+
+    ``plan='distributed'``: rank state lives in a co-partitioned
+    (host, rank) Dataset — no |V|-sized driver array anywhere; see the
+    module docstring. Bit-identical to the driver plan (equality-tested
+    in test_linkgraph) because every step is the same exact-integer
+    recurrence. ``plan='auto'`` picks driver below ``max_hosts``,
+    distributed above."""
     configure_data_context()
+    if plan not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown plan {plan!r}")
     edges = host_linkgraph(ds, num_partitions=num_partitions).materialize()
+    if plan == "distributed":
+        return _pagerank_distributed(edges, iters, num_partitions)
+    if plan == "auto":
+        # decide WITHOUT driver-side state: distinct-host count is a
+        # distributed groupby, so the |V|-sized set is never built on
+        # the driver just to learn it would not fit
+        nv_probe = _node_set(edges, num_partitions).count()
+        if nv_probe > max_hosts:
+            return _pagerank_distributed(edges, iters, num_partitions)
 
     # node set + out-degree in one streamed pass over per-block partials
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -182,8 +212,9 @@ def host_pagerank(
     nv = len(hosts)
     if nv > max_hosts:
         raise ValueError(
-            f"{nv} hosts exceeds max_hosts={max_hosts}; pre-aggregate to "
-            "registered domains or raise the bound"
+            f"{nv} hosts exceeds max_hosts={max_hosts} for plan='driver'; "
+            "use plan='distributed' (co-partitioned rank state) or "
+            "pre-aggregate to registered domains"
         )
     out = np.zeros(nv, dtype=np.int64)
     for hname, n in out_map.items():
@@ -228,6 +259,199 @@ def host_pagerank(
         pa.table({"host": pa.array(hosts, pa.string()),
                   "rank": pa.array(ranks, pa.int64())})
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed-rank-state plan (round 4): no |V|-sized driver arrays
+# --------------------------------------------------------------------------
+
+def _node_set(edges: Dataset, num_partitions: int) -> Dataset:
+    """edges → Dataset(host): the distinct node set, per-batch unique
+    combiner → one host-key groupby (never a driver set)."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [batch["src_host"].combine_chunks().unique(),
+             batch["dst_host"].combine_chunks().unique()]
+        ).unique()
+        return pa.table({"host": u})
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("host", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["host"])
+    )
+
+
+def _out_degrees(edges: Dataset, num_partitions: int) -> Dataset:
+    """edges → Dataset(host, outn): total outgoing multiplicity per
+    source host (per-batch combiner → one key groupby)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"host": batch["src_host"], "n": batch["n_links"]})
+            .group_by("host").aggregate([("n", "sum")])
+        )
+        return agg.rename_columns(["host", "outn"])
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("host", num_partitions=num_partitions)
+        .aggregate(Sum("outn", alias_name="outn"))
+    )
+
+
+def _pr_union_schema(
+    key, dst=None, n=None, rank=None, outn=None, side: int = 0
+) -> pa.Table:
+    """Pad-to-superset tag-union row block (the ops/outer.py idiom):
+    (key, dst_host, n_links, rank, outn, side)."""
+    m = len(key)
+
+    def col(v, typ):
+        return v if v is not None else pa.nulls(m, typ)
+
+    return pa.table(
+        {
+            "key": key,
+            "dst_host": col(dst, pa.string()),
+            "n_links": col(n, pa.int64()),
+            "rank": col(rank, pa.int64()),
+            "outn": col(outn, pa.int64()),
+            "side": pa.array(np.full(m, side, dtype=np.int8), pa.int8()),
+        }
+    )
+
+
+def _pagerank_distributed(
+    edges: Dataset, iters: int, num_partitions: int
+) -> Dataset:
+    """Fixed-point PageRank with CO-PARTITIONED rank state. Exact same
+    integer recurrence as the driver plan; per iteration: one source-key
+    co-partition (edges + ranks + out-degrees tag-unioned), partition-
+    local vectorized contributions, one destination-key groupby-sum,
+    one node-key co-partition for the damped update. Driver state: two
+    scalars."""
+    import pandas as pd
+
+    configure_data_context()
+    nodes = _node_set(edges, num_partitions).materialize()
+    outd = _out_degrees(edges, num_partitions).materialize()
+    nv = nodes.count()
+    if nv == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"host": pa.array([], pa.string()),
+                                "rank": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
+    base = SCALE // nv
+    teleport = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN
+
+    edges_tagged = edges.map_batches(
+        lambda b: _pr_union_schema(
+            b["src_host"], dst=b["dst_host"], n=b["n_links"], side=0
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    outd_tagged = outd.map_batches(
+        lambda b: _pr_union_schema(b["host"], outn=b["outn"], side=2),
+        batch_format="pyarrow",
+    ).materialize()
+    nodes_tagged = nodes.map_batches(
+        lambda b: _pr_union_schema(b["host"], side=0),
+        batch_format="pyarrow",
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda b: pa.table(
+            {"host": b["host"],
+             "rank": pa.array(np.full(b.num_rows, base, np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib_local(batch: pa.Table) -> pa.Table:
+        """One co-partitioned bundle: every row of a source host is here
+        (edge rows side=0, its rank row side=1, its out-degree side=2)."""
+        empty = pa.table({"dst_host": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        e = batch.filter(pa.array(side == 0))
+        if e.num_rows == 0:
+            return empty
+        rtbl = batch.filter(pa.array(side == 1))
+        otbl = batch.filter(pa.array(side == 2))
+        ridx = pd.Index(rtbl["key"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        oidx = pd.Index(otbl["key"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        keys = e["key"].to_numpy(zero_copy_only=False)
+        r = rtbl["rank"].to_numpy(zero_copy_only=False)[
+            ridx.get_indexer(keys)]
+        o = otbl["outn"].to_numpy(zero_copy_only=False)[
+            oidx.get_indexer(keys)]
+        n = e["n_links"].to_numpy(zero_copy_only=False)
+        c = n * (r // o) + (n * (r % o)) // o
+        t = pa.table({"dst_host": e["dst_host"],
+                      "c": pa.array(c, pa.int64())})
+        agg = t.group_by("dst_host").aggregate([("c", "sum")])
+        return agg.rename_columns(["dst_host", "c"])
+
+    def update_local(batch: pa.Table) -> pa.Table:
+        """Co-partitioned (node rows side=0, in-mass rows side=1):
+        rank' = teleport + (85 * inmass) // 100, hosts without in-mass
+        get pure teleport."""
+        if batch.num_rows == 0:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "rank": pa.array([], pa.int64())})
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        ntbl = batch.filter(pa.array(side == 0))
+        mtbl = batch.filter(pa.array(side == 1))
+        midx = pd.Index(mtbl["key"].to_numpy(zero_copy_only=False),
+                        dtype=object)
+        hosts = ntbl["key"].to_numpy(zero_copy_only=False)
+        inmass = np.zeros(len(hosts), dtype=np.int64)
+        if len(midx):
+            gi = midx.get_indexer(hosts)
+            hit = gi >= 0
+            inmass[hit] = mtbl["rank"].to_numpy(
+                zero_copy_only=False)[gi[hit]]
+        rank = teleport + (DAMP_NUM * inmass) // DAMP_DEN
+        return pa.table({"host": ntbl["key"],
+                         "rank": pa.array(rank, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(iters):
+        rank_tagged = ranks.map_batches(
+            lambda b: _pr_union_schema(b["host"], rank=b["rank"], side=1),
+            batch_format="pyarrow",
+        )
+        inmass = (
+            edges_tagged.union(rank_tagged).union(outd_tagged)
+            .repartition(num_blocks=num_partitions, keys=["key"])
+            .map_batches(contrib_local, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("dst_host", num_partitions=num_partitions)
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        mass_tagged = inmass.map_batches(
+            lambda b: _pr_union_schema(b["dst_host"], rank=b["c"], side=1),
+            batch_format="pyarrow",
+        )
+        ranks = (
+            nodes_tagged.union(mass_tagged)
+            .repartition(num_blocks=num_partitions, keys=["key"])
+            .map_batches(update_local, batch_format="pyarrow",
+                         batch_size=None)
+            .materialize()
+        )
+    return ranks
 
 
 # --------------------------------------------------------------------------
