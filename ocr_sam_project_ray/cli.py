@@ -121,6 +121,29 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Incremental fragment ingest (the S3-event trigger analog): process
+    only parquet fragments without a completed lineage record under
+    --out; re-runs after appending fragments touch only the new ones."""
+    _init_ray(args.num_cpus)
+    from .pipelines.checkpoint import ingest_incremental
+    from .pipelines.extraction import PipelineConfig
+
+    files = sorted(glob.glob(args.glob)) if args.glob else []
+    if args.files:
+        files += args.files
+    if not files:
+        print(json.dumps({"error": "no input fragments matched"}))
+        return 2
+    metrics = ingest_incremental(
+        files, args.out,
+        PipelineConfig(dedup_partitions=args.partitions),
+        dedup_against_prior=not args.no_prior_dedup,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_status(args) -> int:
     """Read-side status query (no Ray session needed — lineage + parquet)."""
     from .pipelines.status import run_status, shard_status, url_status
@@ -142,6 +165,17 @@ def main(argv=None) -> int:
     sp.add_argument("--shard", default=None)
     sp.add_argument("--url", default=None)
     sp.set_defaults(fn=cmd_status, num_cpus=None)
+    sp = sub.add_parser("ingest")
+    sp.add_argument("--glob", default=None,
+                    help="glob of input fragment parquet files")
+    sp.add_argument("--files", nargs="*", default=None,
+                    help="explicit fragment files (appended to --glob)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.add_argument("--partitions", type=int, default=16)
+    sp.add_argument("--no-prior-dedup", action="store_true",
+                    help="skip the cross-fragment url snapshot dedup")
+    sp.set_defaults(fn=cmd_ingest)
     for name, fn in [("run", cmd_run), ("resume", cmd_resume),
                      ("split", cmd_split), ("curate", cmd_curate)]:
         sp = sub.add_parser(name)

@@ -107,15 +107,18 @@ def dedup_against_snapshot(
     # np.isin over (fp_hi, fp_lo) pairs. (Dataset.join is avoided here: its
     # aggregator rejects the schema-less empty partitions the bloom route
     # legitimately produces.)
+    # rid follows the id column's type (int64 doc ids, string urls, ...):
+    # snapshot rows carry a null rid of the SAME type so the tag-union
+    # schemas agree, and empty shuffle partitions get a typed result
+    id_type = snap_fp.schema().base_schema.field(id_col).type
+
     def tag(role: int):
         def f(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
                     "rid": (
                         batch[id_col] if role == 0
-                        else pa.array(
-                            np.full(batch.num_rows, -1, dtype=np.int64)
-                        )
+                        else pa.nulls(batch.num_rows, id_type)
                     ),
                     "fp_hi": batch["fp_hi"],
                     "fp_lo": batch["fp_lo"],
@@ -133,7 +136,7 @@ def dedup_against_snapshot(
 
     def semi(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64())})
+            return pa.table({id_col: pa.array([], id_type)})
         hi = batch["fp_hi"].combine_chunks().to_numpy(zero_copy_only=False)
         lo = batch["fp_lo"].combine_chunks().to_numpy(zero_copy_only=False)
         role = batch["role"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -142,7 +145,9 @@ def dedup_against_snapshot(
         keys["a"], keys["b"] = hi, lo
         is_snap = role == 1
         hit = np.isin(keys[~is_snap], keys[is_snap])
-        return pa.table({id_col: pa.array(rid[~is_snap][hit], pa.int64())})
+        return pa.table(
+            {id_col: pa.array(rid[~is_snap][hit].tolist(), id_type)}
+        )
 
     dropped = both.map_batches(
         semi, batch_format="pyarrow", batch_size=None

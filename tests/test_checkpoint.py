@@ -163,3 +163,71 @@ def test_torn_shard_is_redone(tmp_path, files):
     metrics = run_checkpointed(files, out, PipelineConfig(dedup_partitions=2), n_shards=2)
     assert metrics["shards_completed"] == 2
     pd.testing.assert_frame_equal(_read_out(out), expected)
+
+
+def _read_fragments(out_dir):
+    df = (
+        pads.dataset(
+            glob.glob(os.path.join(out_dir, "fragment=*", "*.parquet")),
+            format="parquet",
+        )
+        .to_table(columns=["doc_id", "extracted_text", "success"])
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_ingest_incremental_only_new_fragments(tmp_path, files):
+    """Round-4 'done' bar: run, append fragments, re-run -> only new
+    fragments processed, outputs identical to a from-scratch run."""
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    assert len(files) >= 2
+    first, rest = files[: len(files) // 2], files[len(files) // 2:]
+
+    inc_out = str(tmp_path / "inc")
+    m1 = ingest_incremental(first, inc_out, cfg)
+    assert m1["fragments_processed"] == len(first)
+    assert m1["fragments_skipped"] == 0
+
+    # append the remaining fragments and re-run over the FULL list
+    m2 = ingest_incremental(files, inc_out, cfg)
+    assert m2["fragments_processed"] == len(rest)
+    assert m2["fragments_skipped"] == len(first)
+
+    # third run: everything already ingested -> pure no-op
+    m3 = ingest_incremental(files, inc_out, cfg)
+    assert m3["fragments_processed"] == 0
+    assert m3["fragments_skipped"] == len(files)
+
+    scratch_out = str(tmp_path / "scratch")
+    ms = ingest_incremental(files, scratch_out, cfg)
+    assert ms["fragments_processed"] == len(files)
+    pd.testing.assert_frame_equal(
+        _read_fragments(inc_out), _read_fragments(scratch_out)
+    )
+
+
+def test_ingest_cross_fragment_url_redelivery(tmp_path, files):
+    """A later fragment re-delivering an already-ingested url must not
+    re-admit it (the at-least-once S3 shape): the snapshot dedup drops
+    the re-delivered rows payload-free."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "redeliver")
+    m1 = ingest_incremental(files[:1], out, cfg)
+    n_before = len(_read_fragments(out))
+    assert n_before > 0
+
+    # re-deliver the first fragment's pages under a new fragment name
+    dup = str(tmp_path / "zz_redelivered.parquet")
+    pq.write_table(pq.read_table(files[0]), dup)
+    m2 = ingest_incremental(files[:1] + [dup], out, cfg)
+    assert m2["fragments_processed"] == 1  # the new fragment ran...
+    # ...but every row it carried was already ingested -> no new docs
+    assert len(_read_fragments(out)) == n_before
