@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -32,7 +31,7 @@ import ray.data
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .guards import group_overflows
+from .segmented import filter_overflow_segments, sorted_segments
 
 CONVERSION = "purchase"
 TOUCHES = ("click", "view")
@@ -57,46 +56,69 @@ def purchase_attribution(
     def keep_types(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["event_type"], value_set=types))
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "event_id": pd.Series([], dtype="int64"),
-            "user_id": pd.Series([], dtype="int64"),
-            "attributed_event_id": pd.Series([], dtype="int64"),
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "attributed_event_id": pa.array([], pa.int64()),
         }
     )
 
-    def attribute(g: pd.DataFrame) -> pd.DataFrame:
-        if group_overflows(g, max_group_rows, cap_stats):
-            return empty.copy()
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        is_conv = (g["event_type"] == CONVERSION).to_numpy()
+    def attribute(batch: pa.Table) -> pa.Table:
+        """Arrow-native segmented kernel (round 4): one searchsorted over
+        ALL users of the partition. Composite key (segment, ts-rank)
+        keeps the per-user "rightmost touch with ts <= conversion ts"
+        semantics — among equal-ts touches the (ts, event_id) sort puts
+        the max event_id last, matching the oracle's ORDER BY ts DESC,
+        event_id DESC LIMIT 1."""
+        if batch.num_rows == 0:
+            return empty
+        s, starts, counts = sorted_segments(
+            batch,
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")],
+        )
+        s, starts, counts = filter_overflow_segments(
+            s, starts, counts, max_group_rows, cap_stats
+        )
+        if s.num_rows == 0:
+            return empty
+        is_conv = pc.equal(s["event_type"], CONVERSION).to_numpy(
+            zero_copy_only=False
+        )
         if not is_conv.any():
-            return empty.copy()
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        eid = g["event_id"].to_numpy()
-        t_ts, t_eid = ts[~is_conv], eid[~is_conv]
-        p_ts, p_eid = ts[is_conv], eid[is_conv]
-        # greatest (ts, event_id) touch with t.ts <= p.ts: among equal-ts
-        # touches the (ts, event_id)-sorted order puts the max event_id
-        # last, so "rightmost touch with ts <= p_ts" IS the answer
-        if len(t_ts) == 0:  # conversions but no touches at all
-            attributed = np.full(len(p_eid), -1, dtype="int64")
+            return empty
+        ts = pc.cast(s["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = s["event_id"].to_numpy(zero_copy_only=False)
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        # dense ts ranks keep the composite in int64 (seg * (n+1) + rank;
+        # both factors < n, so the product stays far below 2^63)
+        _, rank = np.unique(ts, return_inverse=True)
+        comp = seg_id * (len(ts) + 1) + rank
+        t_mask = ~is_conv
+        t_comp, t_eid, t_seg = comp[t_mask], eid[t_mask], seg_id[t_mask]
+        p_comp, p_eid, p_seg = comp[is_conv], eid[is_conv], seg_id[is_conv]
+        if len(t_comp) == 0:
+            attributed = np.full(len(p_eid), -1, dtype=np.int64)
         else:
-            idx = np.searchsorted(t_ts, p_ts, side="right") - 1
-            attributed = np.where(idx >= 0, t_eid[np.maximum(idx, 0)], -1)
-        out = pd.DataFrame(
+            idx = np.searchsorted(t_comp, p_comp, side="right") - 1
+            safe = np.maximum(idx, 0)
+            valid = (idx >= 0) & (t_seg[safe] == p_seg)
+            attributed = np.where(valid, t_eid[safe], -1)
+        return pa.table(
             {
-                "event_id": p_eid,
-                "user_id": g["user_id"].to_numpy()[is_conv],
-                "attributed_event_id": attributed.astype("int64"),
+                "event_id": pa.array(p_eid, pa.int64()),
+                "user_id": s["user_id"].filter(pa.array(is_conv)),
+                "attributed_event_id": pa.array(
+                    attributed.astype(np.int64), pa.int64()
+                ),
             }
         )
-        return out
 
     return (
         ds.map_batches(keep_types, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=num_partitions)
-        .map_groups(attribute, batch_format="pandas")
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(attribute, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -83,24 +83,46 @@ def events_cumsum(sf_dir: str, num_partitions: int = 4):
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
-    def running(g):
-        from .relational import np_cents
+    empty = pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "cum_value_cents": pa.array([], pa.int64())}
+    )
 
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        # half away from zero on BOTH signs, like DuckDB round() — pandas
-        # .round() is half-to-even and diverges on exact .5 cents (same
-        # float-parity trap relational._cents guards against)
-        cents = np_cents(g["value"].to_numpy())
-        out = g[["event_id", "user_id"]].copy()
-        out["cum_value_cents"] = cents.cumsum()
-        return out
+    def running(batch: pa.Table) -> pa.Table:
+        # Arrow-native segmented kernel (round 4): every user of the
+        # partition in one pass — global cumsum minus the prefix before
+        # each user's first row (integer sums, so the subtraction is
+        # exact). Cents are half-away-from-zero like DuckDB round()
+        # (the float-parity trap relational._cents guards against).
+        from .relational import np_cents
+        from .segmented import sorted_segments
+
+        if batch.num_rows == 0:
+            return empty
+        s, starts, counts = sorted_segments(
+            batch,
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")],
+        )
+        cents = np_cents(s["value"].to_numpy(zero_copy_only=False))
+        cum = cents.cumsum()
+        base = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        out = cum - np.repeat(base, counts)
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "cum_value_cents": pa.array(out, pa.int64()),
+            }
+        )
 
     # returns the DATASET (one row per event — unbounded at scale): callers
     # stream it on via write_parquet/iter_batches; only the bounded driver
     # wrappers in __ray_entry__.py collect to pandas for the oracle compare
-    return ds.groupby("user_id", num_partitions=num_partitions).map_groups(
-        running, batch_format="pandas"
-    )
+    return ds.repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(running, batch_format="pyarrow", batch_size=None)
 
 
 SQL_EVENTS_CUMSUM = """
@@ -210,24 +232,46 @@ def pack_documents(
         run += int(row.total)
     offsets_ref = ray.put(offsets)
 
-    def pack_group(g):
-        import pandas as pd
+    def pack_local(batch: pa.Table) -> pa.Table:
+        # Arrow-native segmented kernel (round 4): all hash buckets of
+        # the partition in one pass — exclusive prefix sums from one
+        # global cumsum plus the broadcast bucket offsets
+        from .segmented import sorted_segments
 
-        off = ray.get(offsets_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values(["h", id_col], kind="mergesort")
-        prefix = g["n"].cumsum().shift(fill_value=0) + off  # exclusive
-        return pd.DataFrame(
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "pack_id": pa.array([], pa.int64())}
+            )
+        offs = ray.get(offsets_ref)
+        s, starts, counts = sorted_segments(
+            batch,
+            [("bucket", "ascending"), ("h", "ascending"),
+             (id_col, "ascending")],
+        )
+        nv = s["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = nv.cumsum()
+        base = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        bkt_at = s["bucket"].take(pa.array(starts, pa.int64())).to_pylist()
+        off_seg = np.fromiter(
+            (offs[int(b)] for b in bkt_at), dtype=np.int64,
+            count=len(starts),
+        )
+        # exclusive prefix = inclusive cumsum shifted by one row
+        prefix = (cum - nv) - np.repeat(base, counts) \
+            + np.repeat(off_seg, counts)
+        return pa.table(
             {
-                id_col: g[id_col].astype("int64"),
-                "pack_id": (prefix // budget).astype("int64"),
+                id_col: pc.cast(s[id_col], pa.int64()),
+                "pack_id": pa.array(prefix // budget, pa.int64()),
             }
         )
 
     # one row per doc — returned as a DATASET so the packing plan can be
     # written straight to parquet without ever landing on the driver
-    return keyed_ds.groupby("bucket", num_partitions=num_partitions).map_groups(
-        pack_group, batch_format="pandas"
-    )
+    return keyed_ds.repartition(
+        num_blocks=num_partitions, keys=["bucket"]
+    ).map_batches(pack_local, batch_format="pyarrow", batch_size=None)
 
 
 SQL_PACK_DOCUMENTS = """

@@ -33,7 +33,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -41,7 +40,7 @@ import ray.data
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .guards import group_overflows
+from .segmented import filter_overflow_segments, sorted_segments
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 
@@ -70,28 +69,47 @@ def events_funnel(
     def keep_funnel_types(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch["event_type"], value_set=types))
 
-    def reached(g: pd.DataFrame) -> pd.DataFrame:
-        if group_overflows(g, max_group_rows, cap_stats):
-            return pd.DataFrame({"steps_reached": pd.Series([], dtype="int64")})
-        g = g.sort_values("ts", kind="mergesort")
-        codes = g["event_type"].map(step_of).to_numpy()
-        ts = g["ts"].to_numpy()
-        k = 0
-        last_ts = None
-        # greedy earliest-completion: one pass over the user's sorted
-        # events; strict ts increase between consecutive steps
-        for c, t in zip(codes, ts):
-            if c == k and (last_ts is None or t > last_ts):
-                last_ts = t
-                k += 1
-                if k == len(step_of):
-                    break
-        return pd.DataFrame({"steps_reached": pd.Series([k], dtype="int64")})
+    n_steps_total = len(steps)
+
+    def reached(batch: pa.Table) -> pa.Table:
+        """Arrow-native segmented kernel (round 4): cascaded min-ts per
+        step over ALL users of the partition at once — t_k = per-user
+        min{ts : type == step_k, ts > t_(k-1)} (the exact recurrence the
+        SQL oracle unrolls; on sorted events the greedy earliest-
+        completion pass picks the same minima)."""
+        empty = pa.table({"steps_reached": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        s, starts, counts = sorted_segments(
+            batch, [("user_id", "ascending"), ("ts", "ascending")]
+        )
+        s, starts, counts = filter_overflow_segments(
+            s, starts, counts, max_group_rows, cap_stats
+        )
+        if s.num_rows == 0:
+            return empty
+        ts = pc.cast(s["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        codes = pc.index_in(
+            s["event_type"], value_set=types
+        ).to_numpy(zero_copy_only=False)
+        seg_id = np.repeat(np.arange(len(starts)), counts)
+        sent = np.iinfo(np.int64).max
+        prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
+        reached_k = np.zeros(len(starts), dtype=np.int64)
+        for k in range(n_steps_total):
+            mask = (codes == k) & (ts > prev[seg_id])
+            tm = np.where(mask, ts, sent)
+            tk = np.minimum.reduceat(tm, starts)
+            ok = tk != sent
+            reached_k += ok
+            # a broken step poisons all later ones (ts > sent never holds)
+            prev = np.where(ok, tk, sent)
+        return pa.table({"steps_reached": pa.array(reached_k, pa.int64())})
 
     per_user = (
         ds.map_batches(keep_funnel_types, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=num_partitions)
-        .map_groups(reached, batch_format="pandas")
+        .repartition(num_blocks=num_partitions, keys=["user_id"])
+        .map_batches(reached, batch_format="pyarrow", batch_size=None)
     )
 
     n_steps = len(steps)

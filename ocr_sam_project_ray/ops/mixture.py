@@ -35,7 +35,9 @@ from __future__ import annotations
 import hashlib
 from typing import Mapping
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -93,35 +95,57 @@ def mixture_sample(
     offsets_ref = ray.put(offsets)
     budgets_ref = ray.put(budgets)
 
-    def select_group(g):
-        import pandas as pd
+    from .segmented import sorted_segments_multi
 
-        src = g["source"].iloc[0]
-        budget = ray.get(budgets_ref).get(src)
-        if budget is None:
-            return pd.DataFrame(
-                {id_col: pd.Series([], dtype=g[id_col].dtype),
-                 "source": pd.Series([], dtype=object),
-                 "n_tokens": pd.Series([], dtype="int64"),
-                 "cum_tokens": pd.Series([], dtype="int64")}
-            )
-        off = ray.get(offsets_ref)[(src, int(g["bucket"].iloc[0]))]
-        g = g.sort_values(["h", id_col], kind="mergesort")
-        cum = g["n_tokens"].cumsum() + off  # inclusive running total
-        kept = g[cum <= budget]
-        return pd.DataFrame(
+    def select_local(batch: pa.Table) -> pa.Table:
+        """Arrow-native segmented kernel (round 4): all (source, bucket)
+        cells of the partition in one pass — cell-local running totals
+        from one global cumsum plus the broadcast cell offsets."""
+        id_type = batch.schema.field(id_col).type
+        empty = pa.table(
+            {id_col: pa.array([], id_type),
+             "source": pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64()),
+             "cum_tokens": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        offs = ray.get(offsets_ref)
+        buds = ray.get(budgets_ref)
+        s, starts, counts = sorted_segments_multi(
+            batch, ["source", "bucket"],
+            [("h", "ascending"), (id_col, "ascending")],
+        )
+        n = s.num_rows
+        tok = s["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = tok.cumsum()
+        src_at = s["source"].take(pa.array(starts, pa.int64())).to_pylist()
+        bkt_at = s["bucket"].take(pa.array(starts, pa.int64())).to_pylist()
+        # per-segment scalars (bounded: n_sources x 256 cells/partition)
+        off_seg = np.fromiter(
+            (offs[(sv, int(bv))] for sv, bv in zip(src_at, bkt_at)),
+            dtype=np.int64, count=len(starts),
+        )
+        bud_seg = np.fromiter(
+            (buds.get(sv, -1) for sv in src_at),
+            dtype=np.int64, count=len(starts),
+        )
+        base = np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+        within = cum - np.repeat(base, counts) + np.repeat(off_seg, counts)
+        keep = within <= np.repeat(bud_seg, counts)  # budget -1 keeps none
+        kept = s.filter(pa.array(keep))
+        return pa.table(
             {
                 id_col: kept[id_col],
                 "source": kept["source"],
-                "n_tokens": kept["n_tokens"].astype("int64"),
-                "cum_tokens": cum[cum <= budget].astype("int64"),
+                "n_tokens": pc.cast(kept["n_tokens"], pa.int64()),
+                "cum_tokens": pa.array(within[keep], pa.int64()),
             }
         )
 
-    return keyed_ds.groupby(["source", "bucket"],
-                            num_partitions=num_partitions).map_groups(
-        select_group, batch_format="pandas"
-    )
+    return keyed_ds.repartition(
+        num_blocks=num_partitions, keys=["source", "bucket"]
+    ).map_batches(select_local, batch_format="pyarrow", batch_size=None)
 
 
 def sql_mixture_sample(

@@ -320,37 +320,54 @@ def user_sessions(sf_dir: str, num_partitions: int = 4,
     assumption: sorting happens INSIDE each group, so no global order needed;
     ``max_group_rows`` + ``cap_stats`` (ops/guards.py) turn a hot user that
     would OOM the group into a counted record-and-skip instead."""
-    from .guards import group_overflows
+    from .segmented import filter_overflow_segments, sorted_segments
 
     configure_data_context()
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
 
-    def sessions(g):
-        import pandas as pd
+    empty = pa.table(
+        {"user_id": pa.array([], pa.int64()),
+         "n_sessions": pa.array([], pa.int64()),
+         "n_events": pa.array([], pa.int64())}
+    )
 
-        if group_overflows(g, max_group_rows, cap_stats):
-            return pd.DataFrame(
-                {"user_id": pd.Series([], dtype="int64"),
-                 "n_sessions": pd.Series([], dtype="int64"),
-                 "n_events": pd.Series([], dtype="int64")}
-            )
-        g = g.sort_values("ts")
-        ts = g["ts"].astype("int64")
-        new_session = (ts.diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US)
-        return pd.DataFrame(
+    def sessions(batch: pa.Table) -> pa.Table:
+        # Arrow-native segmented kernel (round 4): all users of the
+        # partition in one pass — session starts are gap>threshold OR
+        # segment boundary; per-user counts via one add.reduceat
+        if batch.num_rows == 0:
+            return empty
+        s, starts, counts = sorted_segments(
+            batch, [("user_id", "ascending"), ("ts", "ascending")]
+        )
+        s, starts, counts = filter_overflow_segments(
+            s, starts, counts, max_group_rows, cap_stats
+        )
+        n = s.num_rows
+        if n == 0:
+            return empty
+        ts = pc.cast(s["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = SESSION_GAP_US + 1
+        if n > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        gap[starts] = SESSION_GAP_US + 1  # first event per user
+        new_session = (gap > SESSION_GAP_US).astype(np.int64)
+        n_sessions = np.add.reduceat(new_session, starts)
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [len(g)],
+                "user_id": s["user_id"].take(pa.array(starts, pa.int64())),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
             }
         )
 
     # Dataset out (one row per user): stream on; pandas only in wrappers
-    return ds.groupby("user_id", num_partitions=num_partitions).map_groups(
-        sessions, batch_format="pandas"
-    )
+    return ds.repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(sessions, batch_format="pyarrow", batch_size=None)
 
 
 SQL_USER_SESSIONS = """
@@ -377,8 +394,6 @@ def events_asof_orders(sf_dir: str, num_partitions: int = 4,
     (ops/guards.py) make a hot key a counted record-and-skip, not an OOM.
     Orders are pre-deduplicated to one per (custkey, orderdate) (max
     orderkey) so ties are deterministic. Oracle: DuckDB ASOF LEFT JOIN."""
-    from .guards import group_overflows
-
     configure_data_context()
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
@@ -413,43 +428,65 @@ def events_asof_orders(sf_dir: str, num_partitions: int = 4,
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def asof_group(g):
-        import pandas as pd
+    from .segmented import filter_overflow_segments, sorted_segments
 
-        if group_overflows(g, max_group_rows, cap_stats):
-            return pd.DataFrame(
-                {"event_id": pd.Series([], dtype="int64"),
-                 "user_id": pd.Series([], dtype="int64"),
-                 "last_orderkey": pd.Series([], dtype="int64")}
-            )
-        ev = g[g.role == "e"][["event_id", "ts", "key"]].sort_values("ts", kind="mergesort")
-        od = g[g.role == "o"][["ts", "orderkey"]]
-        if od.empty:
-            out = ev.copy()
-            out["last_orderkey"] = -1
+    empty = pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "last_orderkey": pa.array([], pa.int64())}
+    )
+
+    def asof_local(batch: pa.Table) -> pa.Table:
+        """Arrow-native segmented as-of (round 4): one composite-rank
+        searchsorted over ALL keys of the partition (the attribution
+        idiom). The (ts, orderkey) sort puts the max orderkey last
+        within a date, so 'rightmost order with ts <= event ts' IS the
+        oracle's QUALIFY max-orderkey-per-date + backward as-of."""
+        if batch.num_rows == 0:
+            return empty
+        s, starts, counts = sorted_segments(
+            batch,
+            [("key", "ascending"), ("ts", "ascending"),
+             ("orderkey", "ascending")],
+        )
+        s, starts, counts = filter_overflow_segments(
+            s, starts, counts, max_group_rows, cap_stats
+        )
+        if s.num_rows == 0:
+            return empty
+        is_order = pc.equal(s["role"], "o").to_numpy(zero_copy_only=False)
+        if not (~is_order).any():
+            return empty
+        ts = s["ts"].to_numpy(zero_copy_only=False)
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        _, rank = np.unique(ts, return_inverse=True)
+        comp = seg_id * (len(ts) + 1) + rank
+        o_comp = comp[is_order]
+        o_seg = seg_id[is_order]
+        o_key = s["orderkey"].to_numpy(zero_copy_only=False)[is_order]
+        e_comp = comp[~is_order]
+        e_seg = seg_id[~is_order]
+        ev = s.filter(pa.array(~is_order))
+        if len(o_comp) == 0:
+            last = np.full(len(e_comp), -1, dtype=np.int64)
         else:
-            # one order per (key, date): keep max orderkey (deterministic)
-            od = (
-                od.sort_values(["ts", "orderkey"])
-                .groupby("ts", as_index=False)
-                .last()
-                .sort_values("ts")
-            )
-            out = pd.merge_asof(ev, od, on="ts", direction="backward")
-            out["last_orderkey"] = out["orderkey"].fillna(-1).astype("int64")
-        return pd.DataFrame(
+            idx = np.searchsorted(o_comp, e_comp, side="right") - 1
+            safe = np.maximum(idx, 0)
+            valid = (idx >= 0) & (o_seg[safe] == e_seg)
+            last = np.where(valid, o_key[safe], -1)
+        return pa.table(
             {
-                "event_id": out["event_id"].astype("int64"),
-                "user_id": out["key"].astype("int64"),
-                "last_orderkey": out["last_orderkey"].astype("int64"),
+                "event_id": ev["event_id"],
+                "user_id": ev["key"],
+                "last_orderkey": pa.array(last, pa.int64()),
             }
         )
 
     # Dataset out (one row per EVENT — unbounded): stream on via
     # write_parquet/iter_batches; pandas only in the bounded wrappers
-    return both.groupby("key", num_partitions=num_partitions).map_groups(
-        asof_group, batch_format="pandas"
-    )
+    return both.repartition(
+        num_blocks=num_partitions, keys=["key"]
+    ).map_batches(asof_local, batch_format="pyarrow", batch_size=None)
 
 
 SQL_EVENTS_ASOF = """

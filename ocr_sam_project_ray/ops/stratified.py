@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 import ray
@@ -86,31 +87,52 @@ def stratified_sample(
         totals[s] = totals.get(s, 0) + int(row.cnt)
     state_ref = ray.put((offsets, totals))
 
-    def select_group(g):
-        import pandas as pd
+    from .segmented import sorted_segments_multi
 
+    def select_local(batch: pa.Table) -> pa.Table:
+        """Arrow-native segmented kernel (round 4): every (stratum,
+        bucket) cell of the partition in one pass — within-stratum ranks
+        from segment-local aranges plus the broadcast cell offsets."""
+        id_type = batch.schema.field(id_col).type
+        empty = pa.table(
+            {id_col: pa.array([], id_type),
+             "stratum": pa.array([], pa.string()),
+             "stratum_rank": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
         offs, tots = ray.get(state_ref)
-        s = g["stratum"].iloc[0]
-        off = offs[(s, int(g["bucket"].iloc[0]))]
-        quota_lhs_limit = tots[s] * num  # keep while (rn-1)*den < this
-        g = g.sort_values(["h", id_col], kind="mergesort")
-        rn = pd.RangeIndex(1, len(g) + 1) + off  # within-stratum rank
-        keep = (rn - 1) * den < quota_lhs_limit
-        kept = g[list(keep)]
-        return pd.DataFrame(
+        s, starts, counts = sorted_segments_multi(
+            batch, ["stratum", "bucket"],
+            [("h", "ascending"), (id_col, "ascending")],
+        )
+        n = s.num_rows
+        str_at = s["stratum"].take(pa.array(starts, pa.int64())).to_pylist()
+        bkt_at = s["bucket"].take(pa.array(starts, pa.int64())).to_pylist()
+        off_seg = np.fromiter(
+            (offs[(sv, int(bv))] for sv, bv in zip(str_at, bkt_at)),
+            dtype=np.int64, count=len(starts),
+        )
+        lim_seg = np.fromiter(
+            (tots[sv] * num for sv in str_at),
+            dtype=np.int64, count=len(starts),
+        )
+        seg_start = np.repeat(starts, counts)
+        rn = (np.arange(n, dtype=np.int64) - seg_start + 1
+              + np.repeat(off_seg, counts))
+        keep = (rn - 1) * den < np.repeat(lim_seg, counts)
+        kept = s.filter(pa.array(keep))
+        return pa.table(
             {
                 id_col: kept[id_col],
                 "stratum": kept["stratum"],
-                "stratum_rank": pd.Series(
-                    [r for r, k in zip(rn, keep) if k], dtype="int64"
-                ).values,
+                "stratum_rank": pa.array(rn[keep], pa.int64()),
             }
         )
 
-    return keyed_ds.groupby(["stratum", "bucket"],
-                            num_partitions=num_partitions).map_groups(
-        select_group, batch_format="pandas"
-    )
+    return keyed_ds.repartition(
+        num_blocks=num_partitions, keys=["stratum", "bucket"]
+    ).map_batches(select_local, batch_format="pyarrow", batch_size=None)
 
 
 def sql_stratified_sample(

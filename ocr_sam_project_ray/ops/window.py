@@ -21,14 +21,15 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .guards import group_overflows
 from .relational import np_cents
+from .segmented import filter_overflow_segments, sorted_segments
 
 WINDOW_ROWS = 3
 
@@ -49,31 +50,52 @@ def events_moving_sum(
         columns=["event_id", "user_id", "ts", "value"],
     )
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "event_id": pd.Series([], dtype="int64"),
-            "user_id": pd.Series([], dtype="int64"),
-            "mov_value_cents": pd.Series([], dtype="int64"),
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "mov_value_cents": pa.array([], pa.int64()),
         }
     )
 
-    def moving(g: pd.DataFrame) -> pd.DataFrame:
-        if group_overflows(g, max_group_rows, cap_stats):
-            return empty.copy()
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def moving(batch: pa.Table) -> pa.Table:
+        # Arrow-native segmented kernel (round 4): all groups of the
+        # partition in one vectorized pass — sort once, window sums by
+        # prefix-sum difference with a per-row segment-aware lookback
+        if batch.num_rows == 0:
+            return empty
+        s, starts, counts = sorted_segments(
+            batch,
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")],
+        )
+        s, starts, counts = filter_overflow_segments(
+            s, starts, counts, max_group_rows, cap_stats
+        )
+        n = s.num_rows
+        if n == 0:
+            return empty
         # half away from zero on BOTH signs, like DuckDB round()
-        cents = np_cents(g["value"].to_numpy())
+        cents = np_cents(s["value"].to_numpy(zero_copy_only=False))
         cum = cents.cumsum()
-        mov = cum.copy()
-        if len(cum) > window:
-            mov[window:] = cum[window:] - cum[:-window]
-        out = g[["event_id", "user_id"]].copy()
-        out["mov_value_cents"] = mov
-        return out
+        seg_start = np.repeat(starts, counts)
+        # subtract the prefix just before max(pos-window, seg_start-1):
+        # the global cumsum crosses segments, but everything before the
+        # segment start cancels in the difference
+        lb = np.maximum(np.arange(n, dtype=np.int64) - window, seg_start - 1)
+        base = np.where(lb >= 0, cum[np.maximum(lb, 0)], 0)
+        mov = cum - base
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "mov_value_cents": pa.array(mov, pa.int64()),
+            }
+        )
 
-    return ds.groupby("user_id", num_partitions=num_partitions).map_groups(
-        moving, batch_format="pandas"
-    )
+    return ds.repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(moving, batch_format="pyarrow", batch_size=None)
 
 
 def events_time_delta(
@@ -91,29 +113,45 @@ def events_time_delta(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "event_id": pd.Series([], dtype="int64"),
-            "user_id": pd.Series([], dtype="int64"),
-            "delta_us": pd.Series([], dtype="int64"),
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "delta_us": pa.array([], pa.int64()),
         }
     )
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        if group_overflows(g, max_group_rows, cap_stats):
-            return empty.copy()
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        delta = np.empty(len(us), dtype="int64")
+    def lag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        s, starts, counts = sorted_segments(
+            batch,
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")],
+        )
+        s, starts, counts = filter_overflow_segments(
+            s, starts, counts, max_group_rows, cap_stats
+        )
+        n = s.num_rows
+        if n == 0:
+            return empty
+        us = pc.cast(s["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        delta = np.empty(n, dtype=np.int64)
         delta[0] = -1
-        delta[1:] = us[1:] - us[:-1]
-        out = g[["event_id", "user_id"]].copy()
-        out["delta_us"] = delta
-        return out
+        if n > 1:
+            delta[1:] = us[1:] - us[:-1]
+        delta[starts] = -1  # each group's first row gets the sentinel
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "delta_us": pa.array(delta, pa.int64()),
+            }
+        )
 
-    return ds.groupby("user_id", num_partitions=num_partitions).map_groups(
-        lag, batch_format="pandas"
-    )
+    return ds.repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(lag, batch_format="pyarrow", batch_size=None)
 
 
 SQL_EVENTS_TIME_DELTA = """
