@@ -59,3 +59,65 @@ def test_cli_split(tmp_path):
     for p in t["payload"].to_pylist()[:10]:
         assert p.startswith(b"%PDF-") and p.rstrip().endswith(b"%%EOF")
         assert extract_pdf_like_text(p)
+
+
+def test_status_http_endpoint(tmp_path, monkeypatch):
+    """HTTP status parity (round 4): run a small checkpointed job, then
+    hit every route of the stdlib server and cross-check against the
+    direct function results."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import urllib.error
+    import urllib.request
+
+    from ocr_sam_project_ray.pipelines.checkpoint import run_checkpointed
+    from ocr_sam_project_ray.pipelines.extraction import PipelineConfig
+    from ocr_sam_project_ray.pipelines.status import (
+        run_status, shard_status, url_status,
+    )
+    from ocr_sam_project_ray.pipelines.status_http import serve
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    paths = ensure_corpus("/root/testdata/sf0.001")
+    files = sorted(_glob.glob(_os.path.join(paths["pages"], "*.parquet")))
+    out = str(tmp_path / "run")
+    run_checkpointed(files, out, PipelineConfig(dedup_partitions=2), n_shards=2)
+
+    server, port = serve(out, port=0)
+    try:
+        def get(path):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}", timeout=10
+                ) as r:
+                    return r.status, _json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, _json.loads(e.read())
+
+        code, body = get("/status")
+        assert code == 200 and body == run_status(out)
+        assert body["status"] == "completed"
+
+        code, body = get("/status/shard/00000")
+        assert code == 200 and body == shard_status(out, "00000")
+        assert body["status"] == "completed"
+
+        code, body = get("/status/shard/99999")
+        assert code == 200 and body["status"] == "not_found"
+
+        # per-url route: take a url that exists in the output
+        import pyarrow.dataset as pads
+        url = pads.dataset(
+            _glob.glob(_os.path.join(out, "shard=*", "*.parquet")),
+            format="parquet",
+        ).to_table(columns=["url"])["url"][0].as_py()
+        from urllib.parse import quote
+        code, body = get(f"/status/url?url={quote(url, safe='')}")
+        assert code == 200 and body["total_jobs"] >= 1
+        assert body == url_status(out, url)
+
+        code, body = get("/nope")
+        assert code == 404
+    finally:
+        server.shutdown()
