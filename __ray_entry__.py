@@ -968,6 +968,44 @@ def _q_hashclf_score(sf_dir: str):
     )
 
 
+KNN_TEXT_QUERIES = [
+    "hash join merge sort table",
+    "window agg group order",
+    "fast scan filter row column",
+    "spark batch stream query value",
+]
+
+
+def _q_knn_from_text(sf_dir: str):
+    """Semantic retrieval FROM RAW TEXT end-to-end (round 4): documents
+    are embedded in-pipeline by the actor-pool hash embedder
+    (stages/embedder.py), query strings are embedded by the same kernel,
+    and ops/embed.knn_cosine ranks — the full text→vector→top-k chain
+    under one exact SQL recompute. Zero-norm docs excluded on both
+    sides (cosine undefined)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ocr_sam_project_ray.ops.embed import knn_cosine
+    from ocr_sam_project_ray.stages.embedder import (
+        embed_documents, hash_embed_batch,
+    )
+
+    emb = embed_documents(_docs(sf_dir), concurrency=(1, 4), batch_size=512)
+
+    def nonzero(b: pa.Table) -> pa.Table:
+        m = np.asarray(
+            b["embedding"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(b.num_rows, -1)
+        t = b.rename_columns(["vec_id", "embedding"])
+        return t.filter(pa.array((m != 0).any(axis=1)))
+
+    emb = emb.map_batches(nonzero, batch_format="pyarrow")
+    qm = hash_embed_batch(KNN_TEXT_QUERIES).astype(np.float64)
+    t = knn_cosine(emb, qm, list(range(len(KNN_TEXT_QUERIES))), k=10)
+    return t.to_pandas().reset_index(drop=True)
+
+
 def _q_doc_embeddings(sf_dir: str):
     """Text→embedding actor-pool stage (stages/embedder.py) — the
     reference's warm-singleton model seam (src/ocr_processor/app.py:22-27)
@@ -1696,6 +1734,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/chunk.py); list-slice oracle below, pytest-certified
         #   (test_chunk).
         "chunk_documents": _q_chunk_documents,
+        # * knn_from_text: round-4 semantic retrieval from raw text —
+        #   actor-pool hash embedder (stages/embedder.py) + knn_cosine in
+        #   one chain; full DuckDB recompute below (embeddings re-derived
+        #   from text in SQL), pytest-certified (test_embedder).
+        "knn_from_text": _q_knn_from_text,
         # * doc_split: round-3 deterministic dataset splitting
         #   (ops/split.py); md5 CASE oracle below, pytest-certified
         #   (test_split). doc_split_safe was rotated into the recorded
@@ -2297,6 +2340,7 @@ def _ops_oracles() -> dict[str, str]:
         "events_rollup": _rollup_oracle(),
         "hashclf_score": _hashclf_oracle(),
         "doc_embeddings": _doc_embeddings_oracle(),
+        "knn_from_text": _knn_from_text_oracle(),
         "users_click_purchase": _outer_join_oracle(),
         "trim_docs_length": _trim_docs_oracle(),
         "events_time_delta": _time_delta_oracle(),
@@ -2542,6 +2586,12 @@ def _doc_embeddings_oracle() -> str:
     from ocr_sam_project_ray.stages.embedder import sql_doc_embeddings
 
     return sql_doc_embeddings()
+
+
+def _knn_from_text_oracle() -> str:
+    from ocr_sam_project_ray.stages.embedder import sql_knn_from_text
+
+    return sql_knn_from_text(KNN_TEXT_QUERIES, k=10)
 
 
 def _dispersion_oracle() -> str:

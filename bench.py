@@ -240,6 +240,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     hashclf_score(docs_tbl).count()
     queries["hashclf_score_docs"] = round(time.time() - t0, 3)
 
+    # text→embedding actor-pool stage (round 4: model-in-__init__ seam,
+    # deterministic hash backend) over the documents table
+    from ocr_sam_project_ray.stages.embedder import embed_documents
+
+    t0 = time.time()
+    embed_documents(
+        docs_tbl, concurrency=(1, max(4, num_cpus // 4)), batch_size=1024
+    ).count()
+    queries["embed_documents"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),

@@ -196,6 +196,70 @@ def embed_documents(
     return ds.select_columns([id_col, text_col]).map_batches(Embedder, **kwargs)
 
 
+def sql_knn_from_text(
+    queries: list[str],
+    k: int = 10,
+    table: str = "documents",
+    dim: int = EMBED_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB recompute of semantic retrieval FROM RAW TEXT: re-derive
+    every document's hash embedding (the sql_doc_embeddings CTE chain),
+    embed the query strings engine-side (deterministic — rendered as
+    literals), then cosine top-k with the knn_cosine oracle shape
+    (round 6 dp, ties by vec_id; zero-norm docs excluded on both
+    sides)."""
+    qm = hash_embed_batch(queries, dim)
+    qrows = " UNION ALL ".join(
+        f"SELECT {qid} AS qid, CAST([{', '.join(str(int(x)) for x in qm[qid])}] "
+        "AS DOUBLE[]) AS e"
+        for qid in range(len(queries))
+    )
+    return f"""
+        WITH tok AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(trim({text_col}), '\\s+')) AS tok
+          FROM {table} WHERE trim(coalesce({text_col}, '')) <> ''
+        ),
+        h AS (
+          SELECT doc_id,
+                 (length(tok)*97
+                  + ascii(substr(tok, 1, 1))*31
+                  + ascii(substr(tok, length(tok), 1))) AS hh
+          FROM tok
+        ),
+        cell AS (
+          SELECT doc_id, hh % {dim} AS j,
+                 CAST(sum((hh * {HASH_MULT}) % {HASH_MOD}
+                          - {HASH_SHIFT}) AS BIGINT) AS v
+          FROM h GROUP BY doc_id, hh % {dim}
+        ),
+        dims AS (SELECT unnest(range({dim})) AS j),
+        grid AS (
+          SELECT d.{id_col} AS doc_id, dims.j AS j,
+                 coalesce(c.v, 0) AS v
+          FROM {table} d CROSS JOIN dims
+          LEFT JOIN cell c ON c.doc_id = d.{id_col} AND c.j = dims.j
+        ),
+        vecs AS (
+          SELECT doc_id AS vec_id,
+                 list(CAST(v AS DOUBLE) ORDER BY j) AS e,
+                 sum(v * v) AS nrm
+          FROM grid GROUP BY doc_id
+        ),
+        t AS (SELECT vec_id, e FROM vecs WHERE nrm > 0),
+        q AS ({qrows})
+        SELECT qid, vec_id,
+               round(list_cosine_similarity(q.e, t.e), 6) AS sim
+        FROM q, t
+        QUALIFY row_number() OVER (
+            PARTITION BY qid
+            ORDER BY list_cosine_similarity(q.e, t.e) DESC, vec_id
+        ) <= {k}
+    """
+
+
 def sql_doc_embeddings(
     table: str = "documents",
     dim: int = EMBED_DIM,

@@ -1,0 +1,208 @@
+"""sf1 bench tier for the dedup chains (round 4, judge item #7): all
+scale claims were previously measured at sf0.1 (5k documents); this runs
+the dedup family at ~100x (500k documents) to catch super-linear
+behavior the broadcast/co-partition auto-switch bounds are supposed to
+prevent.
+
+The input is synthesized DETERMINISTICALLY (seed 42, versioned cache
+under /tmp) with planted duplicate structure so every chain has real
+work to do:
+- ~6% exact duplicates (verbatim copies of a base doc),
+- ~6% near duplicates (base doc with 2 of ~45 words swapped →
+  token-jaccard ≈ 0.92, above the 0.8 verify threshold),
+- repeated boilerplate header/footer lines across all docs (the C4
+  line-dedup target),
+- text is multi-line so line_dedup operates on real line structure.
+
+Ops timed (one JSON line on stdout):
+- exact_dedup       ops/dedup_text.dedup_exact over text content
+- near_dedup_chain  LSH candidates -> verify -> connected components ->
+                    anti-join drop (the dedup_docs_near_verified chain)
+- line_dedup        C4 corpus-global line dedup
+- embed_semdedup    stages/embedder (actor pool, from raw text) ->
+                    ops/kmeans.semdedup — the round-4 text->vector path
+                    at 100x
+
+Usage: python tools/bench_sf1.py [n_docs]   (default 500_000)
+Env: RAY_GRAFT_CPUS (default 32)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF1_VERSION = "v1"
+SEED = 42
+N_DOCS_DEFAULT = 500_000
+
+BOILER_HEAD = [
+    "terms of service apply to all visitors of this portal",
+    "copyright 2024 example corporation all rights reserved",
+    "cookie policy privacy notice accessibility statement",
+]
+BOILER_FOOT = [
+    "subscribe to our newsletter for updates and offers",
+    "follow us on social media channels for announcements",
+]
+
+
+def build_sf1(n_docs: int, path: str) -> str:
+    rng = np.random.default_rng(SEED)
+    vocab = np.array(
+        [f"w{i:04d}" for i in range(4000)]
+        + ["data", "corpus", "engine", "ray", "arrow", "shuffle",
+           "partition", "dedup", "token", "quality"],
+        dtype=object,
+    )
+    # base pool: unique docs; dup/near-dup tail references into it
+    n_base = int(n_docs * 0.88)
+    n_exact = int(n_docs * 0.06)
+    n_near = n_docs - n_base - n_exact
+
+    words_per_doc = 45
+    word_idx = rng.integers(0, len(vocab), size=(n_base, words_per_doc))
+    langs = np.array(["es", "en", "pt", "fr"], dtype=object)
+    sources = np.array(["web", "pdf", "portal"], dtype=object)
+
+    def render(idx_row, head, foot):
+        body = vocab[idx_row]
+        lines = [BOILER_HEAD[head]]
+        for j in range(0, words_per_doc, 9):
+            lines.append(" ".join(body[j:j + 9]))
+        lines.append(BOILER_FOOT[foot])
+        return "\n".join(lines)
+
+    heads = rng.integers(0, len(BOILER_HEAD), size=n_docs)
+    foots = rng.integers(0, len(BOILER_FOOT), size=n_docs)
+    texts = [None] * n_docs
+    for i in range(n_base):
+        texts[i] = render(word_idx[i], heads[i], foots[i])
+    # exact dups: verbatim copy INCLUDING boilerplate choice
+    exact_src = rng.integers(0, n_base, size=n_exact)
+    for k, src in enumerate(exact_src):
+        i = n_base + k
+        texts[i] = texts[src]
+    # near dups: swap 2 words of the base body (same boilerplate)
+    near_src = rng.integers(0, n_base, size=n_near)
+    for k, src in enumerate(near_src):
+        i = n_base + n_exact + k
+        row = word_idx[src].copy()
+        pos = rng.integers(0, words_per_doc, size=2)
+        row[pos] = rng.integers(0, len(vocab), size=2)
+        texts[i] = render(row, heads[src], foots[src])
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs[rng.integers(0, 4, n_docs)], pa.string()),
+            "source": pa.array(
+                sources[rng.integers(0, 3, n_docs)], pa.string()
+            ),
+            "n_chars": pa.array(
+                np.fromiter((len(t) for t in texts), np.int64, n_docs)
+            ),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    # row groups sized so Ray's read parallelizes without tiny blocks
+    pq.write_table(tbl, tmp, row_group_size=50_000)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_sf1(n_docs: int) -> str:
+    path = f"/tmp/ocr_sam_ray_sf1/{SF1_VERSION}/{n_docs}/documents.parquet"
+    if not os.path.exists(path):
+        t0 = time.time()
+        build_sf1(n_docs, path)
+        print(f"built sf1 corpus ({n_docs} docs) in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    return path
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
+    path = ensure_sf1(n_docs)
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR", log_to_driver=False)
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+
+    configure_data_context()
+    results: dict = {}
+    nparts = max(8, ncpu // 2)
+
+    def docs():
+        return ray.data.read_parquet(path)
+
+    t0 = time.time()
+    from ocr_sam_project_ray.ops.dedup_text import dedup_exact
+
+    kept = dedup_exact(docs(), num_partitions=nparts)
+    n_exact_kept = kept.count()
+    results["exact_dedup_s"] = round(time.time() - t0, 2)
+    results["exact_dedup_kept"] = n_exact_kept
+
+    t0 = time.time()
+    from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
+    from ocr_sam_project_ray.ops.graph import (
+        connected_components, drop_by_components,
+    )
+
+    pairs = near_dup_verified(docs(), threshold=0.8, num_partitions=nparts)
+    comps = connected_components(pairs, num_partitions=nparts)
+    kept = drop_by_components(docs(), comps, "doc_id", nparts)
+    results["near_dedup_kept"] = kept.count()
+    results["near_dedup_chain_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from ocr_sam_project_ray.ops.line_dedup import line_dedup
+
+    ld = line_dedup(docs(), num_partitions=nparts)
+    results["line_dedup_rows"] = ld.count()
+    results["line_dedup_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from ocr_sam_project_ray.ops.kmeans import semdedup
+    from ocr_sam_project_ray.stages.embedder import embed_documents
+
+    # checkpoint the embeddings ONCE (the pipelines/curate.py convention):
+    # k-means seeding + Lloyd iterations + pair verify all re-consume this
+    # dataset, and a lazy lineage would re-run the embed actor pool per pass
+    emb = embed_documents(
+        docs(), concurrency=(1, max(4, ncpu // 2)), batch_size=2048
+    ).materialize()
+    kept, _skipped = semdedup(
+        emb, eps=0.999, n_clusters=64, iters=3, id_col="doc_id",
+        num_partitions=nparts,
+    )
+    results["embed_semdedup_kept"] = kept.count()
+    results["embed_semdedup_s"] = round(time.time() - t0, 2)
+
+    out = {
+        "metric": "sf1-dedup-chain-walls",
+        "n_docs": n_docs,
+        "num_cpus": ncpu,
+        "unit": "sec",
+        **results,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.exit(main())
