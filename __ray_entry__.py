@@ -810,8 +810,23 @@ def _q_hybrid_rrf(sf_dir: str):
 
     import numpy as np
 
-    edf = _embeddings(sf_dir).to_pandas()
-    q = edf[(edf.vec_id >= 100) & (edf.vec_id < 104)].sort_values("vec_id")
+    # pull ONLY the 4 query vectors through the stream — never the whole
+    # embeddings table onto the driver
+    def qrows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.and_(
+                pc.greater_equal(b["vec_id"], 100), pc.less(b["vec_id"], 104)
+            )
+        )
+
+    q = (
+        _embeddings(sf_dir)
+        .map_batches(qrows, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     if len(q) != 4:
         raise ValueError(
             f"hybrid_rrf needs query vectors vec_id 100..103; found "
@@ -994,10 +1009,12 @@ def _q_knn_from_text(sf_dir: str):
     emb = embed_documents(_docs(sf_dir), concurrency=(1, 4), batch_size=512)
 
     def nonzero(b: pa.Table) -> pa.Table:
+        t = b.rename_columns(["vec_id", "embedding"])
+        if b.num_rows == 0:  # reshape(0, -1) cannot infer the -1 dim
+            return t
         m = np.asarray(
             b["embedding"].combine_chunks().flatten(), dtype=np.float64
         ).reshape(b.num_rows, -1)
-        t = b.rename_columns(["vec_id", "embedding"])
         return t.filter(pa.array((m != 0).any(axis=1)))
 
     emb = emb.map_batches(nonzero, batch_format="pyarrow")

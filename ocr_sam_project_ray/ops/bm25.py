@@ -136,8 +136,14 @@ def _corpus_stats(
             }
         )
 
+    # bounded batches: the stats partial flattens every token of its
+    # batch into a Python list — at batch_size=None a 128 MB text block
+    # would materialize ~1 GB of transient token strings per task. df /
+    # N / T are additive across batches, so any batch size is exact;
+    # 4096 keeps the transient footprint small while still emitting few
+    # partial rows (one per batch) for the driver fold.
     rows = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=None
+        partial, batch_format="pyarrow", batch_size=4096
     ).take_all()
     n_docs = sum(r["n_docs"] for r in rows)
     total_tokens = sum(r["total_tokens"] for r in rows)
@@ -254,7 +260,18 @@ def bm25_topk(
         tf, dl = _tf_matrix(texts, pd.Index(terms, dtype=object))
         c = _contrib_matrix(tf, dl, idf_v, n, t)
         # per-(query, doc) integer score + hit mask via two int64 matmuls
-        # (exact: contributions < 2^53, bounded term count per query)
+        # (exact: contributions < 2^53, bounded term count per query).
+        # The per-cell 2^53 guard does not bound the SUM: a query of m
+        # matching terms can reach m * max|c|, so guard the worst-case
+        # row sum against int64 before the matmul (loud, never silent).
+        mt = int(qm.sum(axis=1).max()) if qm.size else 0
+        cmax = int(np.abs(c).max()) if c.size else 0
+        if mt and cmax and cmax > (2 ** 63 - 1) // mt:
+            raise ValueError(
+                "bm25 integer contract: per-query score sum could exceed "
+                "int64 (max |contribution| "
+                f"{cmax} × {mt} query terms); use the log-idf float path"
+            )
         scores = c @ qm.T                       # (n_docs, n_queries)
         hits = ((tf > 0).astype(np.int64) @ qm.T) > 0
         out_q, out_d, out_s = [], [], []

@@ -140,13 +140,19 @@ def dedup_against_snapshot(
         hi = batch["fp_hi"].combine_chunks().to_numpy(zero_copy_only=False)
         lo = batch["fp_lo"].combine_chunks().to_numpy(zero_copy_only=False)
         role = batch["role"].combine_chunks().to_numpy(zero_copy_only=False)
-        rid = batch["rid"].combine_chunks().to_numpy(zero_copy_only=False)
         keys = np.empty(len(hi), dtype=[("a", "<i8"), ("b", "<i8")])
         keys["a"], keys["b"] = hi, lo
         is_snap = role == 1
         hit = np.isin(keys[~is_snap], keys[is_snap])
+        # keep the rid column on the Arrow side: snapshot rows carry null
+        # rid, and a to_numpy() on an int64-with-nulls column would round
+        # the whole column through float64 (silently corrupting ids
+        # >= 2^53). The boolean mask selects only new-row hits, whose rid
+        # is never null, so the filtered column stays exactly typed.
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        mask[~is_snap] = hit
         return pa.table(
-            {id_col: pa.array(rid[~is_snap][hit].tolist(), id_type)}
+            {id_col: batch.filter(pa.array(mask))["rid"].combine_chunks()}
         )
 
     dropped = both.map_batches(

@@ -178,15 +178,13 @@ def host_pagerank(
     edges = host_linkgraph(ds, num_partitions=num_partitions).materialize()
     if plan == "distributed":
         return _pagerank_distributed(edges, iters, num_partitions)
-    if plan == "auto":
-        # decide WITHOUT driver-side state: distinct-host count is a
-        # distributed groupby, so the |V|-sized set is never built on
-        # the driver just to learn it would not fit
-        nv_probe = _node_set(edges, num_partitions).count()
-        if nv_probe > max_hosts:
-            return _pagerank_distributed(edges, iters, num_partitions)
 
-    # node set + out-degree in one streamed pass over per-block partials
+    # node set + out-degree in one streamed pass over per-block partials.
+    # plan='auto' decides DURING this fold: the moment the host set
+    # exceeds max_hosts the stream is abandoned and the distributed plan
+    # takes over — no separate distributed count probe, and no |V|-sized
+    # driver set is ever completed just to learn it would not fit (the
+    # set is dropped at ≤ max_hosts + one batch).
     def deg_partial(batch: pa.Table) -> pa.Table:
         agg = (
             pa.table({"host": batch["src_host"], "n": batch["n_links"]})
@@ -200,6 +198,7 @@ def host_pagerank(
 
     host_set: set = set()
     out_map: dict = {}
+    overflow = False
     for b in edges.map_batches(deg_partial, batch_format="pyarrow") \
                   .iter_batches(batch_format="pyarrow"):
         hs = b["host"].to_pylist()
@@ -208,14 +207,21 @@ def host_pagerank(
         for hname, n in zip(hs, ns):
             if n is not None:
                 out_map[hname] = out_map.get(hname, 0) + n
-    hosts = np.array(sorted(host_set), dtype=object)
-    nv = len(hosts)
-    if nv > max_hosts:
+        if len(host_set) > max_hosts:
+            overflow = True
+            break
+    if overflow:
+        host_set.clear()
+        out_map.clear()
+        if plan == "auto":
+            return _pagerank_distributed(edges, iters, num_partitions)
         raise ValueError(
-            f"{nv} hosts exceeds max_hosts={max_hosts} for plan='driver'; "
+            f"more than max_hosts={max_hosts} hosts for plan='driver'; "
             "use plan='distributed' (co-partitioned rank state) or "
             "pre-aggregate to registered domains"
         )
+    hosts = np.array(sorted(host_set), dtype=object)
+    nv = len(hosts)
     out = np.zeros(nv, dtype=np.int64)
     for hname, n in out_map.items():
         out[np.searchsorted(hosts, hname)] = n

@@ -191,8 +191,11 @@ def ingest_incremental(
     previously-completed fragment are dropped via
     ops/incremental.dedup_against_snapshot keyed on the url string
     (bloom route + 128-bit fingerprint semi-join — both sides stream;
-    no driver url set). Within-fragment dups use the pipeline's normal
-    broadcast winner dedup.
+    no driver url set). The prior-url snapshot is read from the completed
+    fragments' OWN OUTPUT shards (column-pruned to url) — never from the
+    original input files, so sources may be archived or deleted after
+    ingestion without weakening the dedup guarantee. Within-fragment dups
+    use the pipeline's normal broadcast winner dedup.
 
     Returns metrics incl. per-run accounting:
     fragments_{total,skipped,processed}."""
@@ -208,21 +211,43 @@ def ingest_incremental(
         "fragments_skipped": 0,
         "fragments_processed": 0,
     }
-    # prior corpus = input files of every fragment completed BEFORE the
-    # one being processed (earlier runs + earlier in this run)
+    def record_matches(rec, f) -> bool:
+        # a fragment counts as already-ingested only when the FULL input
+        # path matches — two different files sharing a basename (e.g.
+        # /data/a/batch1.parquet vs /data/b/batch1.parquet) must not
+        # alias to one lineage record
+        return (
+            rec is not None
+            and rec.get("kind") == "ingest"
+            and rec.get("input_fragment") == [os.path.basename(f)]
+            and rec.get("input_path") == os.path.abspath(f)
+        )
+
+    # prior corpus = OUTPUT shards of every fragment completed BEFORE the
+    # one being processed (earlier runs + earlier in this run). Reading
+    # the outputs (not the original inputs) keeps the dedup snapshot
+    # intact after sources are archived: every unique url ever ingested
+    # appears in exactly one completed fragment's output (per-row error
+    # capture keeps failed rows, and re-delivered urls live in the
+    # earlier fragment that first carried them). A fragment about to be
+    # RE-processed this run (stale/mismatched record) is excluded — its
+    # stale output is deleted below.
+    reprocess = {
+        fid for fid, f in zip(ids, files)
+        if done.get(fid) is not None and not record_matches(done.get(fid), f)
+    }
     prior_files = [
-        rec["input_path"]
-        for rec in done.values()
-        if rec.get("kind") == "ingest" and os.path.exists(rec.get("input_path", ""))
+        p
+        for pfid, rec in done.items()
+        if rec.get("kind") == "ingest" and pfid not in reprocess
+        for p in sorted(
+            glob.glob(os.path.join(out_dir, f"fragment={pfid}", "*.parquet"))
+        )
     ]
     for fid, f in zip(ids, files):
         frag_dir = os.path.join(out_dir, f"fragment={fid}")
         rec = done.get(fid)
-        if (
-            rec is not None
-            and rec.get("kind") == "ingest"
-            and rec.get("input_fragment") == [os.path.basename(f)]
-        ):
+        if record_matches(rec, f):
             run_metrics["fragments_skipped"] += 1
             continue
         shutil.rmtree(frag_dir, ignore_errors=True)
@@ -268,7 +293,7 @@ def ingest_incremental(
                 "wall_time_s": round(time.time() - started, 3),
             },
         )
-        prior_files.append(os.path.abspath(f))
+        prior_files.extend(sorted(frag_files))
         run_metrics["fragments_processed"] += 1
 
     metrics = write_metrics(out_dir)

@@ -42,8 +42,10 @@ oracle in __ray_entry__):
   whitespace split after strip; '' / NULL → no tokens);
 - raw hash    hh(tok) = len(tok)*97 + cp_first*31 + cp_last
   (code points — DuckDB ascii(substr()) == Python ord, both
-  character-addressed; hh < 1.2e8 for any Unicode token, so
-  hh * 2654435761 < 2^63: exact in BIGINT and int64);
+  character-addressed; the kernel reduces hh mod (D * 1997) before
+  the multiply — arithmetically invisible since both consumers are
+  modular — so hh * 2654435761 < 2^63 holds for ANY token length,
+  exact in BIGINT and int64);
 - bucket      j(tok)  = hh mod D                (D = EMBED_DIM = 16)
 - weight      w(tok)  = (hh * 2654435761) mod 1997 - 998
 - emb[d][j]   = Σ w(tok) over d's tokens (with multiplicity) whose
@@ -102,6 +104,13 @@ def hash_embed_batch(texts: list, dim: int = EMBED_DIM) -> np.ndarray:
         pair = fl.view(np.uint32).reshape(n, 2).astype(np.int64)
         first, last = pair[:, 0], pair[:, 1]
     hh = lens * 97 + first * 31 + last
+    # Both consumers of hh are modular (j = hh % dim, w via % HASH_MOD),
+    # so reducing hh mod (dim * HASH_MOD) first is EXACTLY equivalent to
+    # the unbounded-integer formula — and keeps hh * HASH_MULT inside
+    # int64 even for degenerate multi-megabyte tokens (unreduced, a
+    # ~3.6e7-char token would silently wrap the int64 product). The SQL
+    # oracle needs no change: the reduction is arithmetically invisible.
+    hh %= dim * HASH_MOD
     j = hh % dim
     w = (hh * HASH_MULT) % HASH_MOD - HASH_SHIFT
     doc_idx = np.repeat(np.arange(len(texts)), counts)

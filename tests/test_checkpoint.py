@@ -231,3 +231,61 @@ def test_ingest_cross_fragment_url_redelivery(tmp_path, files):
     assert m2["fragments_processed"] == 1  # the new fragment ran...
     # ...but every row it carried was already ingested -> no new docs
     assert len(_read_fragments(out)) == n_before
+
+
+def test_ingest_basename_collision_not_skipped(tmp_path, files):
+    """Two different files sharing a basename must both be ingested:
+    the skip check compares the FULL input path, not just the name."""
+    import shutil
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "collide")
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(); b_dir.mkdir()
+    shutil.copy(files[0], a_dir / "batch1.parquet")
+    shutil.copy(files[1], b_dir / "batch1.parquet")
+
+    m1 = ingest_incremental([str(a_dir / "batch1.parquet")], out, cfg)
+    assert m1["fragments_processed"] == 1
+    # same basename, different directory and content: duplicate
+    # fragment ids in ONE list are rejected loudly...
+    with pytest.raises(ValueError, match="duplicate fragment ids"):
+        ingest_incremental(
+            [str(a_dir / "batch1.parquet"), str(b_dir / "batch1.parquet")],
+            out, cfg,
+        )
+    # ...and across runs the b-file must NOT be skipped as a's record
+    m2 = ingest_incremental([str(b_dir / "batch1.parquet")], out, cfg)
+    assert m2["fragments_processed"] == 1
+    assert m2["fragments_skipped"] == 0
+
+
+def test_ingest_dedup_survives_archived_sources(tmp_path, files):
+    """The prior-url snapshot reads completed fragments' OUTPUT shards,
+    so deleting the original input after ingestion (the normal archive
+    step) must not weaken cross-fragment re-delivery dedup."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "archived")
+    src = str(tmp_path / "frag_a.parquet")
+    shutil.copy(files[0], src)
+    ingest_incremental([src], out, cfg)
+    n_before = len(_read_fragments(out))
+    assert n_before > 0
+
+    os.remove(src)  # archive the source after ingestion
+
+    # re-deliver the same pages under a new fragment name: every url is
+    # already in fragment=frag_a's OUTPUT, so nothing new lands
+    dup = str(tmp_path / "zz_redelivered_late.parquet")
+    pq.write_table(pq.read_table(files[0]), dup)
+    m = ingest_incremental([dup], out, cfg)
+    assert m["fragments_processed"] == 1
+    assert len(_read_fragments(out)) == n_before

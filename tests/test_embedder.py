@@ -155,3 +155,12 @@ def test_semdedup_from_raw_text_end_to_end():
         expected_dropped.remove(base)
     assert set(range(len(ids))) - set(kept_ids) == expected_dropped
     assert skipped.count() == 0  # no hot-cluster overflow at this size
+
+
+def test_huge_token_no_int64_wrap():
+    # a token long enough that unreduced hh * HASH_MULT would wrap int64
+    # (len >= ~3.6e7 chars): the kernel's mod-(dim*HASH_MOD) reduction
+    # must keep it exactly equal to the unbounded-integer reference
+    big = "z" * 40_000_000
+    mat = hash_embed_batch(["pre " + big + " post"])
+    assert np.array_equal(mat[0], _ref_embed("pre " + big + " post"))

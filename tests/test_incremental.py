@@ -88,3 +88,22 @@ def test_matches_duckdb_on_corpus(sf_dir="/root/testdata/sf0.001"):
     ).df().doc_id.tolist()
     assert got == exp  # exactness is the contract; planted-dup coverage is
     # in the synthetic tests above (sf0.001 has no cross-split exact dups)
+
+
+def test_huge_int64_ids_survive_exactly():
+    # ids >= 2^53 are NOT representable in float64: the semi-join must
+    # keep the id column on the Arrow side (a numpy round-trip through
+    # float64 would silently corrupt them)
+    base = 2 ** 53
+    snapshot = _ds({base + 100: "alpha", base + 101: "beta"})
+    new = _ds({base + 1: "alpha", base + 3: "delta", base + 5: "beta"})
+    for use_bloom in (True, False):
+        got = dedup_against_snapshot(
+            new, snapshot, num_partitions=2, use_bloom=use_bloom
+        ).to_pandas()
+        assert sorted(got.doc_id.tolist()) == [base + 3], use_bloom
+    # force the shuffled anti-join apply path too
+    got = dedup_against_snapshot(
+        new, snapshot, num_partitions=2, broadcast_max=0
+    ).to_pandas()
+    assert sorted(got.doc_id.tolist()) == [base + 3]
