@@ -43,77 +43,96 @@ from .embed import _batch_matrix, _normalize
 
 DEFAULT_ITERS = 8
 MAX_CLUSTER_ROWS = 100_000
+SEED_SAMPLE_ROWS = 65_536
 
 
 def _farthest_point_seeds(
-    ds: Dataset, k: int, id_col: str, emb_col: str
+    ds: Dataset, k: int, id_col: str, emb_col: str,
+    sample_rows: int = SEED_SAMPLE_ROWS,
 ) -> np.ndarray:
     """Deterministic farthest-point init (greedy k-center, Gonzalez 1985;
     the derandomized cousin of k-means++): seed 0 is the min-id vector;
-    each next seed is the corpus vector with the smallest maximum cosine
-    to the seeds so far (ties → min id). k bounded passes, each reducing
-    to ONE candidate row per block on the driver — no shuffle, no RNG."""
+    each next seed is the vector with the smallest maximum cosine to the
+    seeds so far (ties → min id). No RNG anywhere.
 
-    def min_id_partial(batch: pa.Table) -> pa.Table:
+    The recursion runs over a deterministic hash-order sample: ONE corpus
+    pass keeps, per block, the ``sample_rows`` rows with the smallest
+    (splitmix64(id), id) — a lossless prune for the global bottom-m —
+    and the driver folds blocks into the bounded global sample, then runs
+    the k-center recursion locally over the (m, dim) matrix. With
+    ≤ sample_rows corpus rows the sample IS the corpus and the seeds are
+    bit-identical to the full-corpus recursion (pinned in test_kmeans);
+    above it, seeding stays deterministic on a representative hash sample
+    and Lloyd's full-corpus iterations do the refining. This replaced a
+    k-passes-over-the-corpus recursion — the round-4 sf1 bench measured
+    seeding dominating semdedup wall at 500k docs. Driver state:
+    8·m·dim bytes (lower sample_rows for high-dim model embeddings)."""
+
+    def sample_partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        if ids.size == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "sid": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.binary())})
+        from .dedup_text import _splitmix64
+
+        h = _splitmix64(ids.astype(np.uint64)).view(np.int64)
         m = _batch_matrix(batch, emb_col)
-        i = int(np.argmin(ids))
+        if ids.size > sample_rows:
+            keep = np.lexsort((ids, h))[:sample_rows]
+            ids, h, m = ids[keep], h[keep], m[keep]
         return pa.table(
-            {"sid": pa.array([ids[i]], pa.int64()),
-             "emb": pa.array([m[i].tobytes()], pa.binary())}
+            {"h": pa.array(h, pa.int64()),
+             "sid": pa.array(ids, pa.int64()),
+             "emb": pa.array([r.tobytes() for r in m], pa.binary())}
         )
 
-    def best(candidates: list[tuple]) -> tuple:
-        return min(candidates)
-
-    rows = [
-        (r["sid"], r["emb"])
-        for b in ds.map_batches(min_id_partial, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-        for r in b.to_pylist()
-    ]
-    if not rows:
+    s_h = np.empty(0, dtype=np.int64)
+    s_id = np.empty(0, dtype=np.int64)
+    s_m: np.ndarray | None = None
+    for b in ds.map_batches(sample_partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        bh = b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        bid = b["sid"].combine_chunks().to_numpy(zero_copy_only=False)
+        bm = np.stack([
+            np.frombuffer(e, dtype=np.float64)
+            for e in b["emb"].to_pylist()
+        ])
+        s_h = np.concatenate([s_h, bh])
+        s_id = np.concatenate([s_id, bid])
+        s_m = bm if s_m is None else np.concatenate([s_m, bm])
+        if len(s_h) > sample_rows:
+            keep = np.lexsort((s_id, s_h))[:sample_rows]
+            s_h, s_id, s_m = s_h[keep], s_id[keep], s_m[keep]
+    if s_m is None:
         raise ValueError("empty corpus")
-    seeds = [np.frombuffer(best(rows)[1], dtype=np.float64)]
 
+    norm = _normalize(s_m)
+    seed_idx = [int(np.argmin(s_id))]
     for _ in range(k - 1):
-        s_ref = ray.put(_normalize(np.stack(seeds)))
-
-        def far_partial(batch: pa.Table) -> pa.Table:
-            s = ray.get(s_ref)
-            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            m = _normalize(_batch_matrix(batch, emb_col))
-            max_cos = (m @ s.T).max(axis=1)
-            # per-block argmin with min-id tie-break via lexsort
-            i = int(np.lexsort((ids, max_cos))[0])
-            return pa.table(
-                {"cos": pa.array([float(max_cos[i])], pa.float64()),
-                 "sid": pa.array([ids[i]], pa.int64()),
-                 "emb": pa.array(
-                     [_batch_matrix(batch, emb_col)[i].tobytes()],
-                     pa.binary())}
-            )
-
-        cands = [
-            (r["cos"], r["sid"], r["emb"])
-            for b in ds.map_batches(far_partial, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
-            for r in b.to_pylist()
-        ]
-        seeds.append(np.frombuffer(best(cands)[2], dtype=np.float64))
+        # full matmul against the seed stack each round — the exact
+        # float sequence of the old per-pass recursion (and of the
+        # pinned numpy reference in test_kmeans), so ties break the same
+        max_cos = (norm @ _normalize(s_m[seed_idx]).T).max(axis=1)
+        seed_idx.append(int(np.lexsort((s_id, max_cos))[0]))
     # a corpus with fewer distinct vectors than k repeats seeds; the
     # duplicate clusters stay empty through Lloyd's (counts==0 guard)
-    return np.stack(seeds)
+    return s_m[seed_idx].copy()
 
 
 def kmeans_fit(
     ds: Dataset, n_clusters: int, iters: int = DEFAULT_ITERS,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    seed_sample_rows: int = SEED_SAMPLE_ROWS,
 ) -> np.ndarray:
     """Lloyd's over the FULL corpus; returns (n_clusters, dim) float64
     centroids. Cosine assignment (normalized dot), mean update."""
     configure_data_context()
-    cents = _farthest_point_seeds(ds, n_clusters, id_col, emb_col)
+    cents = _farthest_point_seeds(
+        ds, n_clusters, id_col, emb_col, seed_sample_rows
+    )
 
     for _ in range(iters):
         c_ref = ray.put(_normalize(cents))
@@ -171,12 +190,15 @@ def semdedup_pairs(
     ds: Dataset, eps: float, n_clusters: int, iters: int = DEFAULT_ITERS,
     id_col: str = "vec_id", emb_col: str = "embedding",
     num_partitions: int = 4, max_cluster_rows: int = MAX_CLUSTER_ROWS,
+    seed_sample_rows: int = SEED_SAMPLE_ROWS,
 ) -> tuple[Dataset, Dataset]:
     """(pairs, skipped): within-cluster cosine ≥ eps candidate pairs
     (id_a < id_b) and a (cluster, n_rows) table of clusters skipped by the
     hot-cluster guard (empty when nothing was dropped)."""
     configure_data_context()
-    cents = kmeans_fit(ds, n_clusters, iters, id_col, emb_col)
+    cents = kmeans_fit(
+        ds, n_clusters, iters, id_col, emb_col, seed_sample_rows
+    )
     assigned = assign_clusters(ds, cents, id_col, emb_col)
     by_cluster = assigned.select_columns(
         [id_col, emb_col, "cluster"]
@@ -242,6 +264,7 @@ def semdedup(
     ds: Dataset, eps: float, n_clusters: int, iters: int = DEFAULT_ITERS,
     id_col: str = "vec_id", emb_col: str = "embedding",
     num_partitions: int = 4, max_cluster_rows: int = MAX_CLUSTER_ROWS,
+    seed_sample_rows: int = SEED_SAMPLE_ROWS,
 ) -> tuple[Dataset, Dataset]:
     """(kept, skipped): drop all but the min-id member of every semantic
     duplicate group (cosine ≥ eps within a k-means cluster)."""
@@ -249,7 +272,7 @@ def semdedup(
 
     pair_ds, skipped = semdedup_pairs(
         ds, eps, n_clusters, iters, id_col, emb_col, num_partitions,
-        max_cluster_rows,
+        max_cluster_rows, seed_sample_rows,
     )
     comps = connected_components(
         pair_ds.select_columns(["id_a", "id_b"]), num_partitions=num_partitions

@@ -161,3 +161,27 @@ def test_hot_cluster_guard_counts():
     sk = skipped.to_pandas()
     assert sk.n_rows.sum() == 123  # every cluster over the cap, counted
     assert pair_ds.count() == 0
+
+
+def test_seed_sampling_path_is_deterministic_and_recalls():
+    """Force the bounded hash-sample seeding path (sample_rows < n): the
+    seeds stay deterministic (two runs identical) and the planted-dup
+    contract of test_semdedup_drops_planted_dups still holds — Lloyd's
+    full-corpus iterations refine whatever the sample seeded."""
+    from ocr_sam_project_ray.ops.kmeans import kmeans_fit
+
+    tbl = _blobs()  # 123 rows; sample 32 << n forces the pruned path
+    a = kmeans_fit(ray.data.from_arrow(tbl), 3, iters=4,
+                   seed_sample_rows=32)
+    b = kmeans_fit(ray.data.from_arrow(tbl), 3, iters=4,
+                   seed_sample_rows=32)
+    assert np.array_equal(a, b)
+
+    kept, skipped = semdedup(
+        ray.data.from_arrow(tbl), eps=0.9999, n_clusters=3, iters=4,
+        seed_sample_rows=32,
+    )
+    kept_ids = set(kept.to_pandas().vec_id)
+    assert kept_ids.isdisjoint({40, 81, 122})
+    assert {0, 41, 82} <= kept_ids
+    assert skipped.count() == 0
