@@ -125,25 +125,31 @@ def _corpus_stats(
     idx = pd.Index(terms, dtype=object)
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        tf, dl = _tf_matrix(texts, idx)
-        df = (tf > 0).sum(axis=0).astype(np.int64)
+        # ONE output row per block (the driver fold must stay bounded by
+        # block count, not row count), but tokenize in bounded chunks:
+        # flattening a whole 128 MB block's tokens at once would
+        # materialize ~1 GB of transient Python strings. df / N / T are
+        # additive, so chunking is exact.
+        n_rows = 0
+        total = 0
+        df = np.zeros(len(order), dtype=np.int64)
+        col = batch[text_col]
+        for lo in range(0, batch.num_rows, 4096):
+            texts = col.slice(lo, 4096).to_pylist()
+            tf, dl = _tf_matrix(texts, idx)
+            n_rows += len(texts)
+            total += int(dl.sum())
+            df += (tf > 0).sum(axis=0).astype(np.int64)
         return pa.table(
             {
-                "n_docs": pa.array([len(texts)], pa.int64()),
-                "total_tokens": pa.array([int(dl.sum())], pa.int64()),
+                "n_docs": pa.array([n_rows], pa.int64()),
+                "total_tokens": pa.array([total], pa.int64()),
                 "df": pa.array([df.tolist()], pa.list_(pa.int64())),
             }
         )
 
-    # bounded batches: the stats partial flattens every token of its
-    # batch into a Python list — at batch_size=None a 128 MB text block
-    # would materialize ~1 GB of transient token strings per task. df /
-    # N / T are additive across batches, so any batch size is exact;
-    # 4096 keeps the transient footprint small while still emitting few
-    # partial rows (one per batch) for the driver fold.
     rows = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=4096
+        partial, batch_format="pyarrow", batch_size=None
     ).take_all()
     n_docs = sum(r["n_docs"] for r in rows)
     total_tokens = sum(r["total_tokens"] for r in rows)
