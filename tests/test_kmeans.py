@@ -185,3 +185,21 @@ def test_seed_sampling_path_is_deterministic_and_recalls():
     assert kept_ids.isdisjoint({40, 81, 122})
     assert {0, 41, 82} <= kept_ids
     assert skipped.count() == 0
+
+
+def test_seed_sample_partition_invariance():
+    """The bottom-m (splitmix64(id), id) sample is a global order
+    statistic — per-block pruning is lossless — so the seeds must not
+    depend on the block layout of the input."""
+    from ocr_sam_project_ray.ops.kmeans import _farthest_point_seeds
+
+    tbl = _blobs()
+    a = _farthest_point_seeds(
+        ray.data.from_arrow(tbl).repartition(7), 4, "vec_id", "embedding",
+        sample_rows=32,
+    )
+    b = _farthest_point_seeds(
+        ray.data.from_arrow(tbl).repartition(2), 4, "vec_id", "embedding",
+        sample_rows=32,
+    )
+    assert np.array_equal(a, b)
