@@ -87,38 +87,66 @@ def _farthest_point_seeds(
              "emb": pa.array([r.tobytes() for r in m], pa.binary())}
         )
 
-    s_h = np.empty(0, dtype=np.int64)
-    s_id = np.empty(0, dtype=np.int64)
-    s_m: np.ndarray | None = None
-    for b in ds.map_batches(sample_partial, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+    # batch_size=None: the per-BLOCK prune above is the whole point —
+    # the default 1024-row batching would never trigger it and stream
+    # every row to the driver. The driver prune is amortized (only when
+    # the buffer doubles past sample_rows) so the fold does O(log)
+    # lexsorts, not one per incoming batch.
+    parts_h, parts_id, parts_m = [], [], []
+    buffered = 0
+
+    def _prune():
+        nonlocal parts_h, parts_id, parts_m, buffered
+        h = np.concatenate(parts_h)
+        i = np.concatenate(parts_id)
+        m = np.concatenate(parts_m)
+        if len(h) > sample_rows:
+            keep = np.lexsort((i, h))[:sample_rows]
+            h, i, m = h[keep], i[keep], m[keep]
+        parts_h, parts_id, parts_m = [h], [i], [m]
+        buffered = len(h)
+
+    for b in ds.map_batches(
+        sample_partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
         if b.num_rows == 0:
             continue
-        bh = b["h"].combine_chunks().to_numpy(zero_copy_only=False)
-        bid = b["sid"].combine_chunks().to_numpy(zero_copy_only=False)
-        bm = np.stack([
+        parts_h.append(b["h"].combine_chunks().to_numpy(zero_copy_only=False))
+        parts_id.append(b["sid"].combine_chunks().to_numpy(zero_copy_only=False))
+        parts_m.append(np.stack([
             np.frombuffer(e, dtype=np.float64)
             for e in b["emb"].to_pylist()
-        ])
-        s_h = np.concatenate([s_h, bh])
-        s_id = np.concatenate([s_id, bid])
-        s_m = bm if s_m is None else np.concatenate([s_m, bm])
-        if len(s_h) > sample_rows:
-            keep = np.lexsort((s_id, s_h))[:sample_rows]
-            s_h, s_id, s_m = s_h[keep], s_id[keep], s_m[keep]
-    if s_m is None:
+        ]))
+        buffered += b.num_rows
+        if buffered > 2 * sample_rows:
+            _prune()
+    if not parts_h or not sum(len(p) for p in parts_h):
         raise ValueError("empty corpus")
+    _prune()
+    s_h, s_id, s_m = parts_h[0], parts_id[0], parts_m[0]
 
     norm = _normalize(s_m)
     seed_idx = [int(np.argmin(s_id))]
+    chosen = np.zeros(len(s_id), dtype=bool)
+    chosen[seed_idx[0]] = True
     for _ in range(k - 1):
         # full matmul against the seed stack each round — the exact
         # float sequence of the old per-pass recursion (and of the
         # pinned numpy reference in test_kmeans), so ties break the same
         max_cos = (norm @ _normalize(s_m[seed_idx]).T).max(axis=1)
-        seed_idx.append(int(np.lexsort((s_id, max_cos))[0]))
-    # a corpus with fewer distinct vectors than k repeats seeds; the
-    # duplicate clusters stay empty through Lloyd's (counts==0 guard)
+        # never re-pick a chosen row: a zero embedding has cosine 0 to
+        # everything INCLUDING itself, so without this mask it would win
+        # every remaining round and collapse the seed set. For ordinary
+        # vectors the mask is a no-op (a chosen row's max_cos is 1.0,
+        # never the argmin while any other row scores below 1.0), so
+        # the ≤ sample_rows bit-parity with the pinned reference holds.
+        max_cos = np.where(chosen, np.inf, max_cos)
+        nxt = int(np.lexsort((s_id, max_cos))[0])
+        seed_idx.append(nxt)
+        chosen[nxt] = True
+    # k > sample size repeats rows via argmin over all-inf only when
+    # every row is chosen; guard by construction: repeat the last pick
+    # (duplicate clusters stay empty through Lloyd's counts==0 guard)
     return s_m[seed_idx].copy()
 
 

@@ -203,3 +203,23 @@ def test_seed_sample_partition_invariance():
         sample_rows=32,
     )
     assert np.array_equal(a, b)
+
+
+def test_zero_vector_does_not_collapse_seeds():
+    """A zero embedding has cosine 0 to everything INCLUDING itself, so
+    without the chosen-row mask the greedy k-center loop would re-pick
+    it every round and collapse the seed set to 2 distinct rows."""
+    from ocr_sam_project_ray.ops.kmeans import _farthest_point_seeds
+
+    tbl = _blobs()
+    emb = tbl.column("embedding").to_pylist()
+    zero = [0.0] * len(emb[0])
+    tbl = pa.table({
+        "vec_id": list(range(len(emb) + 1)),
+        "embedding": emb + [zero],
+    })
+    seeds = _farthest_point_seeds(
+        ray.data.from_arrow(tbl), 4, "vec_id", "embedding"
+    )
+    distinct = {tuple(np.round(s, 9)) for s in seeds}
+    assert len(distinct) == 4  # the zero vector is picked at most once
