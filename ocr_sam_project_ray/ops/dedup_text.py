@@ -320,10 +320,13 @@ def minhash_lsh_pairs(
 ) -> Dataset:
     """MinHash+LSH near-dup candidates at scale:
     signature per doc (batched ``np.minimum.reduceat``) → explode to
-    (band_key:int64, id, sig) rows → hash repartition on band_key →
-    within-bucket pairs scored by signature agreement as one (m, m, 64)
-    matrix comparison (est. Jaccard = matching perms / 64) → global pair
-    dedup. Only same-bucket docs are ever compared.
+    (band_key:int64, id, sig) rows — sig is the LOW BYTE of each perm
+    (64 B/doc; see the inflation note in ``sigs``) → hash repartition on
+    band_key → within-bucket pairs scored by byte agreement as one
+    (m, m, 64) matrix comparison (est. Jaccard = matching bytes / 64, an
+    upper-bound estimate: inflated by ~(1−j)/256, never deflated — the
+    candidate gate keeps a superset and exact verification downstream is
+    unaffected) → global pair dedup. Only same-bucket docs are compared.
 
     Skew guards (hot keys are THE failure mode of LSH dedup at scale):
     - empty/shingle-less docs emit NO bands (their all-MAX signatures would
@@ -345,7 +348,16 @@ def minhash_lsh_pairs(
         mask = np.array([a.size > 0 for a in hash_arrays], dtype=bool)
         sig_m = _sig_matrix(nonempty)
         keys = _band_key_matrix(sig_m) if len(sig_m) else np.zeros((0, _BANDS), np.int64)
-        sig_bytes = [row.tobytes() for row in sig_m]
+        # the shuffled payload ships each perm's LOW BYTE only (64 B/doc
+        # instead of 512 B — the band explode repeats it ×16, so this is
+        # an 8× shuffle cut). The downstream agreement estimate compares
+        # bytes: a truly-equal perm pair always matches (low bytes of
+        # equal values are equal), a differing pair false-matches with
+        # P=1/256 — est_jaccard can only be INFLATED (~(1−j)/256), so
+        # the candidate gate keeps a strict superset and the exact
+        # verify in near_dup_verified leaves final results unchanged.
+        sig8 = (sig_m & np.uint64(0xFF)).astype(np.uint8)
+        sig_bytes = [row.tobytes() for row in sig8]
         return pa.table(
             {
                 "band_key": pa.array(keys.reshape(-1), pa.int64()),
@@ -373,7 +385,7 @@ def minhash_lsh_pairs(
         ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
         sig_col = batch["sig"].combine_chunks()
         sigs_m = np.frombuffer(
-            b"".join(sig_col.to_pylist()), dtype=np.uint64
+            b"".join(sig_col.to_pylist()), dtype=np.uint8
         ).reshape(len(batch), _N_PERM)
         order = np.argsort(keys, kind="stable")
         keys, ids, sigs_m = keys[order], ids[order], sigs_m[order]
