@@ -250,12 +250,24 @@ def semdedup_pairs(
                 order = np.argsort(ids)
                 ids = ids[order]
                 m = m_all[sel][order]
-                sims = m @ m.T
-                ia, ib = np.triu_indices(len(ids), k=1)
-                mask = sims[ia, ib] >= eps
-                out_a.extend(ids[ia[mask]].tolist())
-                out_b.extend(ids[ib[mask]].tolist())
-                out_s.extend(np.round(sims[ia, ib][mask], 6).tolist())
+                # row-chunked upper-triangle scan: the one-shot
+                # `m @ m.T` + np.triu_indices form allocates ~m² floats
+                # PLUS m²-sized index arrays (≈1.2 GB transient at
+                # m≈8k — measured as the dominant semdedup wall at
+                # sf1); chunking bounds it at chunk×m while computing
+                # the IDENTICAL per-row dot products in the identical
+                # row-major emit order
+                n_rows = len(ids)
+                chunk = 1024
+                for lo in range(0, n_rows, chunk):
+                    sims_c = m[lo:lo + chunk] @ m.T
+                    r, c = np.nonzero(sims_c >= eps)
+                    keep = c > (r + lo)  # strict upper triangle
+                    r, c = r[keep], c[keep]
+                    if r.size:
+                        out_a.extend(ids[r + lo].tolist())
+                        out_b.extend(ids[c].tolist())
+                        out_s.extend(np.round(sims_c[r, c], 6).tolist())
         # pair rows and skip-marker rows share one table (id_a NULL marks
         # a skip row) so the stage emits a single stable schema
         n_pairs, n_skip = len(out_a), len(skip_c)
