@@ -267,12 +267,22 @@ def cosine_near_pairs_ivf(
             m = m_all[mask][order]
             if len(ids) < 2:
                 continue
-            sims = m @ m.T
-            ia, ib = np.triu_indices(len(ids), k=1)
-            sel = sims[ia, ib] >= threshold
-            out_a.extend(ids[ia[sel]].tolist())
-            out_b.extend(ids[ib[sel]].tolist())
-            out_s.extend(np.round(sims[ia, ib][sel], 6).tolist())
+            # row-chunked upper-triangle scan (the ops/kmeans.py pairs
+            # idiom): bounds transients at chunk×m instead of the m²
+            # sims + triu_indices arrays; identical dot products in the
+            # identical row-major emit order. Compute stays O(Σ m²) by
+            # design — size n_centroids so buckets fit a worker.
+            n_rows = len(ids)
+            chunk = 1024
+            for lo in range(0, n_rows, chunk):
+                sims_c = m[lo:lo + chunk] @ m.T
+                r, c = np.nonzero(sims_c >= threshold)
+                keep = c > (r + lo)
+                r, c = r[keep], c[keep]
+                if r.size:
+                    out_a.extend(ids[r + lo].tolist())
+                    out_b.extend(ids[c].tolist())
+                    out_s.extend(np.round(sims_c[r, c], 6).tolist())
         return pa.table(
             {
                 "id_a": pa.array(out_a, pa.int64()),
