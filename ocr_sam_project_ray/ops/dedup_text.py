@@ -317,6 +317,7 @@ def minhash_lsh_pairs(
     text_col: str = "text", num_partitions: int = 8,
     max_bucket: int = MAX_LSH_BUCKET,
     drop_stats: Optional["ray.actor.ActorHandle"] = None,
+    band_sig_bytes: int = 1,
 ) -> Dataset:
     """MinHash+LSH near-dup candidates at scale:
     signature per doc (batched ``np.minimum.reduceat``) → explode to
@@ -339,6 +340,8 @@ def minhash_lsh_pairs(
       pass ``drop_stats`` (a ``LshDropStats`` handle) and read
       ``ray.get(drop_stats.get.remote())`` after consuming the result —
       (skipped_buckets, skipped_members) quantify the recall cap."""
+    if band_sig_bytes not in (1, 8):
+        raise ValueError(f"band_sig_bytes must be 1 or 8, got {band_sig_bytes}")
     configure_data_context()
 
     def sigs(batch: pa.Table) -> pa.Table:
@@ -348,16 +351,23 @@ def minhash_lsh_pairs(
         mask = np.array([a.size > 0 for a in hash_arrays], dtype=bool)
         sig_m = _sig_matrix(nonempty)
         keys = _band_key_matrix(sig_m) if len(sig_m) else np.zeros((0, _BANDS), np.int64)
-        # the shuffled payload ships each perm's LOW BYTE only (64 B/doc
-        # instead of 512 B — the band explode repeats it ×16, so this is
-        # an 8× shuffle cut). The downstream agreement estimate compares
-        # bytes: a truly-equal perm pair always matches (low bytes of
-        # equal values are equal), a differing pair false-matches with
-        # P=1/256 — est_jaccard can only be INFLATED (~(1−j)/256), so
-        # the candidate gate keeps a strict superset and the exact
-        # verify in near_dup_verified leaves final results unchanged.
-        sig8 = (sig_m & np.uint64(0xFF)).astype(np.uint8)
-        sig_bytes = [row.tobytes() for row in sig8]
+        # band_sig_bytes=1 (default): ship each perm's LOW BYTE only
+        # (64 B per band row instead of 512 — an 8× shuffle cut; at
+        # 500k docs the full-signature band shuffle was ~4 GB and
+        # spilled the object store: 219 s → 39.5 s measured). The
+        # agreement estimate compares bytes: a truly-equal perm pair
+        # always matches, a differing pair false-matches with P=1/256 —
+        # est_jaccard can only be INFLATED (~(1−j)/256), so the
+        # candidate gate keeps a strict superset and callers that
+        # EXACT-verify downstream (near_dup_verified) are unchanged.
+        # Callers gating on est_jaccard alone must pass
+        # band_sig_bytes=8 for the unbiased estimate
+        # (dedup_near_minhash does).
+        ship = (
+            (sig_m & np.uint64(0xFF)).astype(np.uint8)
+            if band_sig_bytes == 1 else sig_m
+        )
+        sig_bytes = [row.tobytes() for row in ship]
         return pa.table(
             {
                 "band_key": pa.array(keys.reshape(-1), pa.int64()),
@@ -385,7 +395,8 @@ def minhash_lsh_pairs(
         ids = batch["id"].combine_chunks().to_numpy(zero_copy_only=False)
         sig_col = batch["sig"].combine_chunks()
         sigs_m = np.frombuffer(
-            b"".join(sig_col.to_pylist()), dtype=np.uint8
+            b"".join(sig_col.to_pylist()),
+            dtype=np.uint8 if band_sig_bytes == 1 else np.uint64,
         ).reshape(len(batch), _N_PERM)
         order = np.argsort(keys, kind="stable")
         keys, ids, sigs_m = keys[order], ids[order], sigs_m[order]
@@ -457,11 +468,19 @@ def dedup_near_minhash(
     distributed connected components (ops/graph.py) → one survivor (min id)
     per component, losers removed by a hash anti-join. No loser-id set ever
     lands on the driver — safe at any duplicate fraction. ``drop_stats``
-    (LshDropStats handle) records what the hot-bucket guard skipped."""
+    (LshDropStats handle) records what the hot-bucket guard skipped.
+
+    Pairs are gated on est_jaccard with NO exact verification, so the
+    full 8-byte signatures are shipped (band_sig_bytes=8): the low-byte
+    estimate is upward-biased (~(1−j)/256) and would admit borderline
+    below-threshold pairs straight into the drop. Scale-sensitive
+    callers should prefer the exact-verified chain
+    (near_dup_verified → connected_components → drop)."""
     from .graph import connected_components, drop_by_components
 
     pairs = minhash_lsh_pairs(
-        ds, threshold, id_col, text_col, num_partitions, drop_stats=drop_stats
+        ds, threshold, id_col, text_col, num_partitions,
+        drop_stats=drop_stats, band_sig_bytes=8,
     )
     comps = connected_components(pairs, num_partitions=num_partitions)
     return drop_by_components(ds, comps, id_col, num_partitions=num_partitions)

@@ -36,6 +36,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def chunked_upper_pairs(
+    m: np.ndarray, ids: np.ndarray, threshold: float, chunk: int = 1024
+) -> tuple[list, list, list]:
+    """All strict-upper-triangle cosine pairs ≥ threshold over a
+    row-NORMALIZED matrix ``m`` aligned with ascending-sorted ``ids``:
+    returns (id_a, id_b, sim-rounded-6dp) lists in row-major order —
+    the shared kernel of semdedup_pairs, cosine_near_pairs(_ivf).
+
+    Row-chunked so transients stay at chunk×(n−lo) instead of the n²
+    sims + triu_indices arrays (~1.2 GB per ~8k-row group — measured as
+    the dominant semdedup wall at sf1), and each chunk multiplies only
+    against columns at-or-right-of itself (``m[lo:]``), halving flops
+    vs a full ``m @ m.T``; each surviving dot product and the emit
+    order are IDENTICAL to the one-shot triu form."""
+    out_a, out_b, out_s = [], [], []
+    n = len(ids)
+    for lo in range(0, n, chunk):
+        sims_c = m[lo:lo + chunk] @ m[lo:].T
+        r, c = np.nonzero(sims_c >= threshold)
+        keep = c > r  # strict upper triangle in global coordinates
+        r, c = r[keep], c[keep]
+        if r.size:
+            out_a.extend(ids[r + lo].tolist())
+            out_b.extend(ids[c + lo].tolist())
+            out_s.extend(np.round(sims_c[r, c], 6).tolist())
+    return out_a, out_b, out_s
+
+
 def knn_cosine(
     ds: Dataset,
     queries: np.ndarray,
@@ -111,14 +139,12 @@ def cosine_near_pairs(
         order = np.argsort(ids)
         m = _normalize(_batch_matrix(batch, emb_col))[order]
         ids = ids[order]
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sims[ia, ib] >= threshold
+        out_a, out_b, out_s = chunked_upper_pairs(m, ids, threshold)
         return pa.table(
             {
-                "id_a": pa.array(ids[ia[mask]], pa.int64()),
-                "id_b": pa.array(ids[ib[mask]], pa.int64()),
-                "sim": pa.array(np.round(sims[ia, ib][mask], 6), pa.float64()),
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
             }
         )
 
@@ -267,22 +293,13 @@ def cosine_near_pairs_ivf(
             m = m_all[mask][order]
             if len(ids) < 2:
                 continue
-            # row-chunked upper-triangle scan (the ops/kmeans.py pairs
-            # idiom): bounds transients at chunk×m instead of the m²
-            # sims + triu_indices arrays; identical dot products in the
-            # identical row-major emit order. Compute stays O(Σ m²) by
-            # design — size n_centroids so buckets fit a worker.
-            n_rows = len(ids)
-            chunk = 1024
-            for lo in range(0, n_rows, chunk):
-                sims_c = m[lo:lo + chunk] @ m.T
-                r, c = np.nonzero(sims_c >= threshold)
-                keep = c > (r + lo)
-                r, c = r[keep], c[keep]
-                if r.size:
-                    out_a.extend(ids[r + lo].tolist())
-                    out_b.extend(ids[c].tolist())
-                    out_s.extend(np.round(sims_c[r, c], 6).tolist())
+            # chunked_upper_pairs bounds transients at chunk×m; compute
+            # stays O(Σ m²/2) by design — size n_centroids so buckets
+            # fit a worker
+            a, b, s = chunked_upper_pairs(m, ids, threshold)
+            out_a.extend(a)
+            out_b.extend(b)
+            out_s.extend(s)
         return pa.table(
             {
                 "id_a": pa.array(out_a, pa.int64()),

@@ -39,7 +39,7 @@ import ray
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .embed import _batch_matrix, _normalize
+from .embed import _batch_matrix, _normalize, chunked_upper_pairs
 
 DEFAULT_ITERS = 8
 MAX_CLUSTER_ROWS = 100_000
@@ -250,24 +250,14 @@ def semdedup_pairs(
                 order = np.argsort(ids)
                 ids = ids[order]
                 m = m_all[sel][order]
-                # row-chunked upper-triangle scan: the one-shot
-                # `m @ m.T` + np.triu_indices form allocates ~m² floats
-                # PLUS m²-sized index arrays (≈1.2 GB transient at
-                # m≈8k — measured as the dominant semdedup wall at
-                # sf1); chunking bounds it at chunk×m while computing
-                # the IDENTICAL per-row dot products in the identical
-                # row-major emit order
-                n_rows = len(ids)
-                chunk = 1024
-                for lo in range(0, n_rows, chunk):
-                    sims_c = m[lo:lo + chunk] @ m.T
-                    r, c = np.nonzero(sims_c >= eps)
-                    keep = c > (r + lo)  # strict upper triangle
-                    r, c = r[keep], c[keep]
-                    if r.size:
-                        out_a.extend(ids[r + lo].tolist())
-                        out_b.extend(ids[c].tolist())
-                        out_s.extend(np.round(sims_c[r, c], 6).tolist())
+                # shared row-chunked scan (embed.chunked_upper_pairs):
+                # bounds transients at chunk×m instead of the one-shot
+                # m² sims + triu index arrays (≈1.2 GB at m≈8k —
+                # measured as the dominant semdedup wall at sf1)
+                a, b, s = chunked_upper_pairs(m, ids, eps)
+                out_a.extend(a)
+                out_b.extend(b)
+                out_s.extend(s)
         # pair rows and skip-marker rows share one table (id_a NULL marks
         # a skip row) so the stage emits a single stable schema
         n_pairs, n_skip = len(out_a), len(skip_c)
