@@ -111,3 +111,30 @@ def test_cosine_near_pairs_ivf_and_dedup(emb, ref):
     expected = _union_find_survivors(set(ids.tolist()),
                                      list(zip(got.id_a, got.id_b)))
     assert kept_ids == expected
+
+
+def test_chunked_upper_pairs_equals_triu_form():
+    """The shared chunked scan must emit exactly the one-shot
+    m@m.T + triu_indices pairs, in the same row-major order, for chunk
+    sizes that split groups mid-row (the boundary cases both semdedup
+    and the IVF kernel rely on)."""
+    import numpy as np
+
+    from ocr_sam_project_ray.ops.embed import _normalize, chunked_upper_pairs
+
+    rng = np.random.default_rng(7)
+    m = _normalize(rng.normal(size=(37, 8)))
+    m[5] = m[29]  # exact duplicate rows -> sim 1.0 ties
+    ids = np.sort(rng.choice(10_000, size=37, replace=False)).astype(np.int64)
+    for thr in (0.2, 0.7, 0.999):
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= thr
+        exp = (
+            ids[ia[mask]].tolist(),
+            ids[ib[mask]].tolist(),
+            np.round(sims[ia, ib][mask], 6).tolist(),
+        )
+        for chunk in (1, 3, 36, 37, 1024):
+            got = chunked_upper_pairs(m, ids, thr, chunk=chunk)
+            assert got == exp, (thr, chunk)
