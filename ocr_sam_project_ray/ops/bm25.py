@@ -32,10 +32,20 @@ Exact cross-engine contract (what the DuckDB oracle recomputes):
   terms with tf > 0 (docs matching no term are absent); top-k per
   query by (score_ppm DESC, doc_id ASC), rank 1-based.
 All intermediate integer products must stay below 2^53 for the
-division-parity argument; ``bm25_topk`` guards this explicitly
-(raises, never silently degrades). At true 100 TB scale (T ~ 1e12)
-the contract switches to float log-idf where cross-engine bit parity
-is no longer the requirement — documented, not silent.
+division-parity argument; ``bm25_topk`` guards this explicitly.
+At true 100 TB scale (T ~ 1e13 corpus tokens) those products blow the
+bound, so the engine carries a SECOND scoring contract and switches
+automatically (``scoring='auto'``, the default): classic float64
+log-idf Okapi BM25 with the same k1 = 3/2, b = 3/4 and the
+Lucene-style non-negative idf  ln(1 + (N - df + 0.5)/(df + 0.5)).
+Float scores are not cross-engine bit-recomputable — that is the
+point of having two contracts — so the float path is verified by
+rank-overlap against the rational path on shared (in-bound) corpora
+plus row-count/schema checks, not by value hash. The switch decision
+is made ONCE on the driver from the stats pass's (N, T, max_dl) fold
+(tf <= dl <= max_dl bounds every per-cell product), never silently
+per batch; ``scoring='rational'`` restores the old raise-on-overflow
+behaviour, ``scoring='float'`` forces the log-idf path.
 
 Scale shape:
 1. stats pass: one column-pruned streaming pass emits ONE tiny partial
@@ -116,9 +126,11 @@ def _tf_matrix(
 
 def _corpus_stats(
     ds: Dataset, terms: list[str], text_col: str
-) -> tuple[int, int, dict[str, int]]:
-    """(N, T, {term: df}) in one streaming pass; one partial row per
-    block lands on the driver (bounded by block count)."""
+) -> tuple[int, int, dict[str, int], int]:
+    """(N, T, {term: df}, max_dl) in one streaming pass; one partial row
+    per block lands on the driver (bounded by block count). max_dl (the
+    longest document's token count) bounds every tf, so the driver can
+    decide rational-vs-float scoring BEFORE the scoring pass."""
     import pandas as pd
 
     order = {t: i for i, t in enumerate(terms)}
@@ -129,9 +141,10 @@ def _corpus_stats(
         # block count, not row count), but tokenize in bounded chunks:
         # flattening a whole 128 MB block's tokens at once would
         # materialize ~1 GB of transient Python strings. df / N / T are
-        # additive, so chunking is exact.
+        # additive and max_dl is max-mergeable, so chunking is exact.
         n_rows = 0
         total = 0
+        max_dl = 0
         df = np.zeros(len(order), dtype=np.int64)
         col = batch[text_col]
         for lo in range(0, batch.num_rows, 4096):
@@ -139,11 +152,14 @@ def _corpus_stats(
             tf, dl = _tf_matrix(texts, idx)
             n_rows += len(texts)
             total += int(dl.sum())
+            if dl.size:
+                max_dl = max(max_dl, int(dl.max()))
             df += (tf > 0).sum(axis=0).astype(np.int64)
         return pa.table(
             {
                 "n_docs": pa.array([n_rows], pa.int64()),
                 "total_tokens": pa.array([total], pa.int64()),
+                "max_dl": pa.array([max_dl], pa.int64()),
                 "df": pa.array([df.tolist()], pa.list_(pa.int64())),
             }
         )
@@ -153,12 +169,37 @@ def _corpus_stats(
     ).take_all()
     n_docs = sum(r["n_docs"] for r in rows)
     total_tokens = sum(r["total_tokens"] for r in rows)
+    max_dl = max((r["max_dl"] for r in rows), default=0)
     df_tot = np.zeros(len(order), dtype=np.int64)
     for r in rows:
         df_tot += np.asarray(r["df"], dtype=np.int64)
     return n_docs, total_tokens, {
         t: int(df_tot[i]) for t, i in order.items() if df_tot[i] > 0
-    }
+    }, max_dl
+
+
+def _rational_parity_ok(
+    n: int, t: int, max_dl: int, max_qterms: int, bound: int
+) -> bool:
+    """True iff the integer-rational contract is provably safe for this
+    corpus: every per-cell product stays under ``bound`` (2^53 — the
+    correctly-rounded-double-division parity argument) and the worst
+    per-query score SUM stays inside int64. Exact Python ints, driver
+    side, evaluated once per call from the stats fold — tf <= dl <=
+    max_dl bounds every cell the scoring pass can form."""
+    if max_dl == 0 or t == 0:
+        return True
+    num = 20 * max_dl * t
+    den = 8 * max_dl * t + 3 * t + 9 * max_dl * n
+    if num >= bound or den >= bound:
+        return False
+    # contribution <= idf_max * (20/8) * 1e6 + 1; idf_max at df = 1 is
+    # (2n - 1) / 3. Conservative sum guard mirrors local_topk's runtime
+    # check so 'auto' never selects a path that would raise mid-stream.
+    c_max = (2 * n - 1) * 2_500_000 // 3 + 1
+    if max_qterms and c_max > (2 ** 63 - 1) // max_qterms:
+        return False
+    return True
 
 
 def _contribution(tf: int, df: int, dl: int, n: int, t: int) -> int:
@@ -212,35 +253,92 @@ def _contrib_matrix(
     return np.where(active, c, 0)
 
 
+def _float_contrib_matrix(
+    tf: np.ndarray, dl: np.ndarray, idf_log: np.ndarray, n: int, t: int
+) -> np.ndarray:
+    """Classic float64 Okapi BM25 contribution matrix — the above-parity
+    contract (module docstring): k1 = 3/2, b = 3/4, avgdl = T/N,
+    tf_comp = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), scaled by the
+    caller-supplied log-idf vector. No overflow bound: everything is
+    float64. Deterministic given (idf_log, n, t) — each doc's score is
+    computed wholly inside its batch, so block boundaries cannot change
+    float accumulation order."""
+    k1, b = 1.5, 0.75
+    avgdl = t / n if n else 1.0
+    tf_f = tf.astype(np.float64)
+    denom = tf_f + k1 * (1.0 - b + b * (dl[:, None] / avgdl))
+    comp = np.divide(
+        tf_f * (k1 + 1.0), denom, out=np.zeros_like(tf_f), where=denom > 0
+    )
+    return np.where(tf > 0, comp * idf_log[None, :], 0.0)
+
+
 def bm25_topk(
     ds: Dataset,
     queries: list[str],
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scoring: str = "auto",
+    _parity_bound: int = _PARITY_BOUND,
 ) -> pa.Table:
-    """Top-k BM25 docs per query. ``queries[i]`` has qid = i. Returns an
-    arrow table (qid, doc_id, rank, score_ppm), k rows max per query,
-    ordered (qid ASC, rank ASC)."""
+    """Top-k BM25 docs per query. ``queries[i]`` has qid = i.
+
+    ``scoring`` selects the contract (module docstring):
+    - 'auto' (default): integer-rational when the driver-side pre-check
+      proves every product stays under the 2^53 parity bound, else
+      float64 log-idf Okapi — the 100 TB path, chosen once per call,
+      never raising mid-stream;
+    - 'rational': force the bit-parity contract (raises loudly when the
+      corpus exceeds the bound — the pre-round-4 behaviour);
+    - 'float': force the log-idf contract.
+    Returns an arrow table (qid, doc_id, rank, score_ppm:int64) for the
+    rational contract or (qid, doc_id, rank, score:float64) for the
+    float one — the column NAME declares which contract scored the run.
+    k rows max per query, ordered (qid ASC, rank ASC); ties broken
+    doc_id ASC under both contracts.
+
+    ``_parity_bound`` exists for tests: shrinking it forces the auto
+    switch on a small corpus without synthesizing 2^53 tokens."""
     import pandas as pd
 
+    if scoring not in ("auto", "rational", "float"):
+        raise ValueError(f"unknown bm25 scoring contract: {scoring!r}")
     # prune to the two live columns before either pass: the stats pass
     # needs only text, the scoring pass (id, text) — nothing else leaves
     # the read
     ds = ds.select_columns([id_col, text_col])
     qterms = _query_terms(queries)
     all_terms = sorted({t for qt in qterms for t in qt})
-    n_docs, total_tokens, df_map = _corpus_stats(
+    n_docs, total_tokens, df_map, max_dl = _corpus_stats(
         ds.select_columns([text_col]), all_terms, text_col
     )
+    max_qterms = max((len(tl) for tl in qterms), default=0)
+    if scoring == "auto":
+        scoring = (
+            "rational"
+            if _rational_parity_ok(
+                n_docs, total_tokens, max_dl, max_qterms, _parity_bound
+            )
+            else "float"
+        )
     # only terms that occur in the corpus can score; the bounded
     # (query x term) structure is precomputed once and broadcast
     live_terms = [t for t in all_terms if t in df_map]
-    idf = np.array(
-        [(2 * (n_docs - df_map[t]) + 1) / (2 * df_map[t] + 1)
-         for t in live_terms],
-        dtype=np.float64,
-    )
+    if scoring == "rational":
+        idf = np.array(
+            [(2 * (n_docs - df_map[t]) + 1) / (2 * df_map[t] + 1)
+             for t in live_terms],
+            dtype=np.float64,
+        )
+        score_col, score_type = "score_ppm", pa.int64()
+    else:
+        idf = np.array(
+            [math.log1p((n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5))
+             for t in live_terms],
+            dtype=np.float64,
+        )
+        score_col, score_type = "score", pa.float64()
     qmask = np.zeros((len(queries), len(live_terms)), dtype=np.int64)
     pos = {t: j for j, t in enumerate(live_terms)}
     for qid, tlist in enumerate(qterms):
@@ -248,15 +346,17 @@ def bm25_topk(
             if term in pos:
                 qmask[qid, pos[term]] = 1
     # broadcast once, read per task — never re-shipped per batch
-    ref = ray.put((live_terms, idf, qmask, n_docs, total_tokens))
+    ref = ray.put(
+        (live_terms, idf, qmask, n_docs, total_tokens, scoring)
+    )
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        terms, idf_v, qm, n, t = ray.get(ref)
+        terms, idf_v, qm, n, t, mode = ray.get(ref)
         empty = pa.table(
             {
                 "qid": pa.array([], pa.int64()),
                 "doc_id": pa.array([], pa.int64()),
-                "score_ppm": pa.array([], pa.int64()),
+                score_col: pa.array([], score_type),
             }
         )
         if not terms or t == 0:
@@ -264,21 +364,28 @@ def bm25_topk(
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         tf, dl = _tf_matrix(texts, pd.Index(terms, dtype=object))
-        c = _contrib_matrix(tf, dl, idf_v, n, t)
-        # per-(query, doc) integer score + hit mask via two int64 matmuls
-        # (exact: contributions < 2^53, bounded term count per query).
-        # The per-cell 2^53 guard does not bound the SUM: a query of m
-        # matching terms can reach m * max|c|, so guard the worst-case
-        # row sum against int64 before the matmul (loud, never silent).
-        mt = int(qm.sum(axis=1).max()) if qm.size else 0
-        cmax = int(np.abs(c).max()) if c.size else 0
-        if mt and cmax and cmax > (2 ** 63 - 1) // mt:
-            raise ValueError(
-                "bm25 integer contract: per-query score sum could exceed "
-                "int64 (max |contribution| "
-                f"{cmax} × {mt} query terms); use the log-idf float path"
-            )
-        scores = c @ qm.T                       # (n_docs, n_queries)
+        if mode == "rational":
+            c = _contrib_matrix(tf, dl, idf_v, n, t)
+            # per-(query, doc) integer score + hit mask via two int64
+            # matmuls (exact: contributions < 2^53, bounded term count
+            # per query). The per-cell 2^53 guard does not bound the
+            # SUM: a query of m matching terms can reach m * max|c|, so
+            # guard the worst-case row sum against int64 before the
+            # matmul (loud, never silent — and 'auto' pre-checks the
+            # same bound driver-side so it never selects this path when
+            # the guard could fire).
+            mt = int(qm.sum(axis=1).max()) if qm.size else 0
+            cmax = int(np.abs(c).max()) if c.size else 0
+            if mt and cmax and cmax > (2 ** 63 - 1) // mt:
+                raise ValueError(
+                    "bm25 integer contract: per-query score sum could "
+                    "exceed int64 (max |contribution| "
+                    f"{cmax} × {mt} query terms); use scoring='float'"
+                )
+            scores = c @ qm.T                   # (n_docs, n_queries)
+        else:
+            c = _float_contrib_matrix(tf, dl, idf_v, n, t)
+            scores = c @ qm.T.astype(np.float64)
         hits = ((tf > 0).astype(np.int64) @ qm.T) > 0
         out_q, out_d, out_s = [], [], []
         for qid in range(qm.shape[0]):
@@ -298,7 +405,17 @@ def bm25_topk(
             {
                 "qid": pa.array(np.concatenate(out_q), pa.int64()),
                 "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
-                "score_ppm": pa.array(np.concatenate(out_s), pa.int64()),
+                score_col: pa.array(np.concatenate(out_s), score_type),
+            }
+        )
+
+    def typed_empty() -> pa.Table:
+        return pa.table(
+            {
+                "qid": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                score_col: pa.array([], score_type),
             }
         )
 
@@ -310,18 +427,11 @@ def bm25_topk(
         local_topk, batch_format="pyarrow", batch_size=1024
     ).materialize()
     if partials.count() == 0:
-        return pa.table(
-            {
-                "qid": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "score_ppm": pa.array([], pa.int64()),
-            }
-        )
+        return typed_empty()
 
     def final(g):
         g = g.sort_values(
-            ["score_ppm", "doc_id"], ascending=[False, True]
+            [score_col, "doc_id"], ascending=[False, True]
         ).head(k).reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
@@ -335,17 +445,16 @@ def bm25_topk(
         # no document matched any query: an all-empty partials dataset
         # can surface as a column-less frame — return the typed empty
         # result instead of letting the projection KeyError
-        return pa.table(
-            {
-                "qid": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "rank": pa.array([], pa.int64()),
-                "score_ppm": pa.array([], pa.int64()),
-            }
-        )
+        return typed_empty()
     merged = merged.sort_values(["qid", "rank"]).reset_index(drop=True)
-    merged = merged[["qid", "doc_id", "rank", "score_ppm"]]
-    return pa.Table.from_pandas(merged, preserve_index=False)
+    merged = merged[["qid", "doc_id", "rank", score_col]]
+    out = pa.Table.from_pandas(merged, preserve_index=False)
+    return out.cast(
+        pa.schema(
+            [("qid", pa.int64()), ("doc_id", pa.int64()),
+             ("rank", pa.int64()), (score_col, score_type)]
+        )
+    )
 
 
 def sql_bm25_topk(

@@ -41,15 +41,21 @@ from .bloom import DEFAULT_K, DEFAULT_M_BITS, bloom_contains, bloom_from_dataset
 BROADCAST_DROP_MAX = 5_000_000  # ids; ~40 MB broadcast upper bound
 
 
-def _fp_table(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
-    texts = batch[text_col].to_pylist()
+def _fp_pair(texts: list) -> np.ndarray:
+    """md5 of each text split into two little-endian int64s — the
+    16-byte fingerprint every snapshot artifact in this module shares
+    (the per-fragment urlfp sidecars persist exactly these columns)."""
     digest = b"".join(
         hashlib.md5((t or "").encode("utf-8")).digest() for t in texts
     )
-    fp = (
+    return (
         np.frombuffer(digest, dtype="<u8").reshape(-1, 2)
         if texts else np.zeros((0, 2), dtype="<u8")
     )
+
+
+def _fp_table(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    fp = _fp_pair(batch[text_col].to_pylist())
     return pa.table(
         {
             id_col: batch[id_col],
@@ -57,6 +63,23 @@ def _fp_table(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
             "fp_lo": pa.array(fp[:, 1].astype(np.int64), pa.int64()),
         }
     )
+
+
+def fingerprints_only(ds: Dataset, text_col: str) -> Dataset:
+    """ds → Dataset(fp_hi, fp_lo): the payload-free 16-byte/row snapshot
+    form ``dedup_against_snapshot(snapshot_is_fp=True)`` consumes, and
+    the schema of the ingest urlfp sidecars (pipelines/checkpoint.py)."""
+
+    def fp_only(batch: pa.Table) -> pa.Table:
+        fp = _fp_pair(batch[text_col].to_pylist())
+        return pa.table(
+            {
+                "fp_hi": pa.array(fp[:, 0].astype(np.int64), pa.int64()),
+                "fp_lo": pa.array(fp[:, 1].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp_only, batch_format="pyarrow")
 
 
 def dedup_against_snapshot(
@@ -69,9 +92,15 @@ def dedup_against_snapshot(
     use_bloom: bool = True,
     m_bits: int = DEFAULT_M_BITS,
     broadcast_max: int = BROADCAST_DROP_MAX,
+    snapshot_is_fp: bool = False,
 ) -> Dataset:
     """``new_ds`` minus documents whose exact text already appears in
-    ``snapshot_ds`` (all columns of ``new_ds`` preserved)."""
+    ``snapshot_ds`` (all columns of ``new_ds`` preserved).
+
+    ``snapshot_is_fp=True`` declares the snapshot ALREADY fingerprinted
+    — a (fp_hi, fp_lo) Dataset such as ``fingerprints_only`` output or
+    the ingest urlfp sidecars — so the snapshot side skips hashing
+    entirely and only 16-byte rows are ever read for it."""
     configure_data_context()
 
     def fp_of(ds: Dataset) -> Dataset:
@@ -82,7 +111,9 @@ def dedup_against_snapshot(
     # materialize the snapshot fingerprints ONCE: they are consumed twice
     # (bloom build + semi-join) and are payload-free 24-byte rows; this also
     # makes the empty-snapshot early-out free
-    snap_fp = fp_of(snapshot_ds).materialize()
+    snap_fp = (
+        snapshot_ds if snapshot_is_fp else fp_of(snapshot_ds)
+    ).materialize()
     if snap_fp.count() == 0:
         return new_ds
     new_fp = fp_of(new_ds)
@@ -109,8 +140,12 @@ def dedup_against_snapshot(
     # legitimately produces.)
     # rid follows the id column's type (int64 doc ids, string urls, ...):
     # snapshot rows carry a null rid of the SAME type so the tag-union
-    # schemas agree, and empty shuffle partitions get a typed result
-    id_type = snap_fp.schema().base_schema.field(id_col).type
+    # schemas agree, and empty shuffle partitions get a typed result.
+    # A pre-fingerprinted snapshot has no id column — take the type from
+    # the new side instead (parquet metadata read, no execution).
+    id_type = (
+        new_ds if snapshot_is_fp else snap_fp
+    ).schema().base_schema.field(id_col).type
 
     def tag(role: int):
         def f(batch: pa.Table) -> pa.Table:

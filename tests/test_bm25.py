@@ -182,6 +182,97 @@ def test_contrib_matrix_equals_scalar():
             assert c[i, j] == exp
 
 
+def test_float_scoring_matches_reference_impl():
+    """Engine float path vs a driver-side pure-numpy recompute of the
+    log-idf Okapi contract (k1=3/2, b=3/4, Lucene non-negative idf).
+    Float scores aren't cross-engine hash-checkable — this pins the
+    engine's own kernel against an independent rendering instead."""
+    import math
+
+    import numpy as np
+
+    from ocr_sam_project_ray.ops.textstats import tokenize
+
+    tbl = _docs()
+    got = bm25_topk(
+        ray.data.from_arrow(tbl), QUERIES, k=50, scoring="float"
+    ).to_pandas()
+    texts = [t if t is not None else "" for t in tbl["text"].to_pylist()]
+    toks = [tokenize(t) for t in texts]
+    n = len(texts)
+    tt = sum(len(t) for t in toks)
+    avgdl = tt / n
+    k1, b = 1.5, 0.75
+    for _, row in got.iterrows():
+        qterms = sorted(set(tokenize(QUERIES[int(row.qid)])))
+        dtoks = toks[int(row.doc_id)]
+        dl = len(dtoks)
+        exp = 0.0
+        for term in qterms:
+            tf = dtoks.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for d in toks if term in d)
+            idf = math.log1p((n - df + 0.5) / (df + 0.5))
+            exp += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        assert np.isclose(row.score, exp, rtol=1e-12), (row, exp)
+
+
+def test_auto_switches_to_float_past_parity_bound():
+    """scoring='auto' with a shrunken parity bound (stand-in for a
+    10^13-token corpus) must flip to the float contract — schema says
+    'score' float64 — and produce exactly the forced-float result; the
+    top-k DOC SETS must still overlap the rational contract's heavily
+    (the two idf surrogates are monotone in df, so rankings agree up to
+    near-ties)."""
+    tbl = _docs()
+    ds = ray.data.from_arrow(tbl)
+    auto = bm25_topk(ds, QUERIES, k=5, _parity_bound=10)
+    assert auto.column_names == ["qid", "doc_id", "rank", "score"]
+    assert auto.schema.field("score").type == pa.float64()
+    forced = bm25_topk(ds, QUERIES, k=5, scoring="float")
+    pd.testing.assert_frame_equal(auto.to_pandas(), forced.to_pandas())
+    rat = bm25_topk(ds, QUERIES, k=5, scoring="rational").to_pandas()
+    flt = auto.to_pandas()
+    for qid in sorted(set(rat.qid)):
+        rs = set(rat[rat.qid == qid].doc_id)
+        fs = set(flt[flt.qid == qid].doc_id)
+        assert len(rs & fs) >= 0.8 * len(rs), (qid, rs, fs)
+    # a query matching nothing stays absent under both contracts
+    assert not (flt.qid == 3).any()
+
+
+def test_float_no_match_returns_typed_empty():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta"], pa.string()),
+    }))
+    t = bm25_topk(ds, ["zzz qqq"], k=5, scoring="float")
+    assert t.num_rows == 0
+    assert t.column_names == ["qid", "doc_id", "rank", "score"]
+    assert t.schema.field("score").type == pa.float64()
+
+
+def test_rational_parity_precheck():
+    """Driver-side pre-check: safe at small-corpus numbers, trips at
+    the 100 TB token regime (T ~ 1e13) without any worker involvement."""
+    from ocr_sam_project_ray.ops.bm25 import (
+        _PARITY_BOUND,
+        _rational_parity_ok,
+    )
+
+    assert _rational_parity_ok(10**6, 10**9, 10**4, 8, _PARITY_BOUND)
+    assert not _rational_parity_ok(10**10, 10**13, 10**5, 8, _PARITY_BOUND)
+    # empty corpus is trivially safe
+    assert _rational_parity_ok(0, 0, 0, 8, _PARITY_BOUND)
+
+
+def test_unknown_scoring_rejected():
+    ds = ray.data.from_arrow(_docs())
+    with pytest.raises(ValueError, match="scoring"):
+        bm25_topk(ds, QUERIES, k=3, scoring="fancy")
+
+
 def test_contrib_matrix_parity_guard():
     import numpy as np
     import pytest as _pt

@@ -289,3 +289,131 @@ def test_ingest_dedup_survives_archived_sources(tmp_path, files):
     m = ingest_incremental([dup], out, cfg)
     assert m["fragments_processed"] == 1
     assert len(_read_fragments(out)) == n_before
+
+
+def _dir_bytes(pattern):
+    return sum(os.path.getsize(p) for p in glob.glob(pattern))
+
+
+def test_ingest_sidecars_written_and_flat(tmp_path, files):
+    """Round-5 sidecars: every ingested fragment gets a
+    ``{out}/urlfp/fragment=<id>/`` parquet of 16-byte url fingerprints,
+    row-matched to its output; the prior-dedup scan reads THOSE, so its
+    byte volume is ~16 B x urls regardless of the (much wider) output
+    schema — the fix for the round-4 'prior-scan grows with output
+    width/history' finding."""
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "sidecars")
+    ingest_incremental(files, out, cfg)
+
+    frag_dirs = sorted(glob.glob(os.path.join(out, "fragment=*")))
+    assert frag_dirs
+    total_side = total_out = 0
+    for fd in frag_dirs:
+        fid = os.path.basename(fd).split("=", 1)[1]
+        side = sorted(
+            glob.glob(os.path.join(out, "urlfp", f"fragment={fid}",
+                                   "*.parquet"))
+        )
+        assert side, f"missing urlfp sidecar for fragment {fid}"
+        n_side = sum(pq.read_metadata(p).num_rows for p in side)
+        n_out = sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(os.path.join(fd, "*.parquet"))
+        )
+        assert n_side == n_out, (fid, n_side, n_out)
+        side_bytes = sum(os.path.getsize(p) for p in side)
+        # 16 B/url + bounded parquet framing — flat in output schema width
+        assert side_bytes <= 16 * n_side + 16384, (fid, side_bytes, n_side)
+        total_side += side_bytes
+        total_out += _dir_bytes(os.path.join(fd, "*.parquet"))
+    assert total_side < total_out / 5, (total_side, total_out)
+
+
+def test_ingest_dedup_survives_archived_outputs(tmp_path, files):
+    """With sidecars the OUTPUT shards themselves can be archived after
+    ingestion: the prior-url snapshot is rebuilt from urlfp sidecars
+    alone, so a late re-delivery still lands zero new rows."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "arch_out")
+    src = str(tmp_path / "frag_a.parquet")
+    shutil.copy(files[0], src)
+    ingest_incremental([src], out, cfg)
+    frag_dirs = glob.glob(os.path.join(out, "fragment=*"))
+    assert len(frag_dirs) == 1
+
+    shutil.rmtree(frag_dirs[0])  # archive the OUTPUT after ingestion
+
+    dup = str(tmp_path / "zz_redelivered_out.parquet")
+    pq.write_table(pq.read_table(files[0]), dup)
+    m = ingest_incremental([dup], out, cfg)
+    assert m["fragments_processed"] == 1
+    dup_rows = sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(
+            os.path.join(out, "fragment=zz_redelivered_out", "*.parquet")
+        )
+    )
+    assert dup_rows == 0  # every url was already in the sidecar snapshot
+
+
+def test_ingest_pre_sidecar_history_falls_back(tmp_path, files):
+    """Fragments ingested before sidecars existed (simulated by deleting
+    the sidecar) fall back to their output shards, keeping re-delivery
+    dedup intact across the upgrade."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "presidecar")
+    src = str(tmp_path / "frag_a.parquet")
+    shutil.copy(files[0], src)
+    ingest_incremental([src], out, cfg)
+    n_before = len(_read_fragments(out))
+    shutil.rmtree(os.path.join(out, "urlfp"))  # pre-sidecar history
+
+    dup = str(tmp_path / "zz_redelivered_fb.parquet")
+    pq.write_table(pq.read_table(files[0]), dup)
+    m = ingest_incremental([dup], out, cfg)
+    assert m["fragments_processed"] == 1
+    assert len(_read_fragments(out)) == n_before
+
+
+def test_ingest_missing_snapshot_artifacts_raise(tmp_path, files):
+    """A completed fragment with row_count > 0 whose sidecar AND output
+    are both gone must raise loudly: the snapshot is load-bearing for
+    the re-delivery guarantee (round-4 advice — silent empty glob would
+    quietly re-admit duplicate urls)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "torn_snapshot")
+    src = str(tmp_path / "frag_a.parquet")
+    shutil.copy(files[0], src)
+    ingest_incremental([src], out, cfg)
+
+    shutil.rmtree(os.path.join(out, "urlfp"))
+    for d in glob.glob(os.path.join(out, "fragment=*")):
+        shutil.rmtree(d)
+
+    dup = str(tmp_path / "zz_next.parquet")
+    pq.write_table(pq.read_table(files[1]), dup)
+    with pytest.raises(RuntimeError, match="urlfp sidecar"):
+        ingest_incremental([dup], out, cfg)

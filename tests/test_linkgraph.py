@@ -156,6 +156,16 @@ def test_distributed_plan_equals_driver_plan():
                           num_partitions=3)
         )
         assert drv.equals(dst), f"iters={iters}\n{drv}\n{dst}"
+    # bucket-count invariance (round 5, one-time static partitioning):
+    # the single-bucket degenerate case and a bucket count larger than
+    # the host set (guaranteed empty buckets) must be bit-identical too
+    drv = _rank_df(host_pagerank(ds, iters=3, plan="driver"))
+    for nb in (1, 8):
+        dst = _rank_df(
+            host_pagerank(ds, iters=3, plan="distributed",
+                          num_partitions=nb)
+        )
+        assert drv.equals(dst), f"num_partitions={nb}\n{drv}\n{dst}"
 
 
 def test_auto_switches_to_distributed_above_bound():
