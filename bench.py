@@ -22,15 +22,86 @@ This script OWNS its ray session (init/shutdown); library code never does.
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import shutil
 import subprocess
 import sys
+import threading
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+class _StoreMonitor:
+    """Object-store telemetry for one timed block (round 5 — the LSH
+    band-payload regression was invisible at sf0.1 wall times but would
+    have shown up as spill growth a round earlier): samples occupancy
+    (cluster object_store_memory total - available, in bytes) and the
+    raylet spill directory's size at 4 Hz on a daemon thread.
+    ``stats()`` reports the PEAK occupancy seen and the spill GROWTH
+    attributable to the block (max-seen minus at-start — spill files
+    are deleted on free, so an end-minus-start delta could go
+    negative). 4 Hz sampling can miss sub-250 ms spikes; good enough
+    for trend-level regression catching, which is the point."""
+
+    def __init__(self):
+        import ray
+
+        self._total = ray.cluster_resources().get(
+            "object_store_memory", 0.0
+        )
+        node = ray._private.worker._global_node
+        self._spill_glob = os.path.join(
+            node.get_session_dir_path(), "ray_spilled_objects*", "*"
+        )
+        self._stop = threading.Event()
+        self._peak = 0.0
+        self._spill0 = self._spill_bytes()
+        self._spill_peak = self._spill0
+
+    def _spill_bytes(self) -> int:
+        total = 0
+        for p in _glob.glob(self._spill_glob):
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                pass
+        return total
+
+    def _sample(self) -> None:
+        import ray
+
+        try:
+            avail = ray.available_resources().get(
+                "object_store_memory", self._total
+            )
+        except Exception:
+            return
+        self._peak = max(self._peak, self._total - avail)
+        self._spill_peak = max(self._spill_peak, self._spill_bytes())
+
+    def _run(self) -> None:
+        while not self._stop.wait(0.25):
+            self._sample()
+
+    def __enter__(self) -> "_StoreMonitor":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._sample()  # one final post-block sample
+
+    def stats(self) -> dict:
+        return {
+            "objstore_peak_bytes": int(self._peak),
+            "spill_bytes": int(max(0, self._spill_peak - self._spill0)),
+        }
 
 
 def _sf_number(sf_dir: str) -> float:
@@ -79,6 +150,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     queries: dict[str, float] = {}
+    telemetry: dict[str, dict] = {}
+
+    def timed(name: str, fn) -> None:
+        with _StoreMonitor() as mon:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        telemetry[name] = mon.stats()
 
     # untimed warmup: run the same pipeline once so Ray worker processes /
     # shuffle aggregators exist and imports are loaded — both parallelism
@@ -90,10 +170,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     headline = float("inf")
     for rep in range(2):
         shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.time()
-        ds = run_extraction(sf_dir, cfg)
-        ds.write_parquet(os.path.join(out_dir, "extracted"))
-        headline = min(headline, time.time() - t0)
+        with _StoreMonitor() as mon:
+            t0 = time.time()
+            ds = run_extraction(sf_dir, cfg)
+            ds.write_parquet(os.path.join(out_dir, "extracted"))
+            dt = time.time() - t0
+        if dt < headline:
+            headline = dt
+            telemetry["extraction_write"] = mon.stats()
     queries["extraction_write"] = round(headline, 3)
 
     n_docs = ray.data.read_parquet(os.path.join(out_dir, "extracted")).count()
@@ -104,6 +188,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "value": round(headline, 3),
             "unit": "sec",
             "queries": queries,
+            "telemetry": telemetry,
             "sf": _sf_number(sf_dir),
             "num_cpus": num_cpus,
             "docs_out": n_docs,
@@ -116,24 +201,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # (production path) vs the full hash-shuffle (fallback), 2 columns each
     from ocr_sam_project_ray.stages.dedup import compute_dup_winners
 
-    t0 = time.time()
-    compute_dup_winners(paths["pages"])
-    queries["dedup_winners_pass"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    dedup_by_url(
+    timed("dedup_winners_pass", lambda: compute_dup_winners(paths["pages"]))
+    timed("dedup_shuffle", lambda: dedup_by_url(
         ray.data.read_parquet(paths["pages"], columns=["url", "warc_ts"]),
         num_partitions=cfg.dedup_partitions,
-    ).count()
-    queries["dedup_shuffle"] = round(time.time() - t0, 3)
+    ).count())
 
     # distributed near-dedup chain over the documents table (the LLM-data
     # flagship: LSH pairs → connected components → anti-join drop)
     from ocr_sam_project_ray.ops.dedup_text import dedup_near_minhash
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.time()
-    dedup_near_minhash(docs, threshold=0.7, num_partitions=8).count()
-    queries["near_dedup_docs"] = round(time.time() - t0, 3)
+    timed("near_dedup_docs", lambda: dedup_near_minhash(
+        docs, threshold=0.7, num_partitions=8).count())
 
     # full curation chain (quality → exact dedup → near-dup → counts)
     from ocr_sam_project_ray.pipelines.curate import curate_corpus
@@ -141,18 +221,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     docs_qt = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    t0 = time.time()
-    curate_corpus(docs_qt, None, num_partitions=8)
-    queries["curate_docs"] = round(time.time() - t0, 3)
+    timed("curate_docs", lambda: curate_corpus(
+        docs_qt, None, num_partitions=8))
 
     # persons projection + batch rollup on top of a cached annotated dataset
     annotated = run_extraction(sf_dir, cfg).materialize()
-    t0 = time.time()
-    project_persons(annotated).count()
-    queries["project_persons"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    batch_rollup(annotated).count()
-    queries["batch_rollup"] = round(time.time() - t0, 3)
+    timed("project_persons", lambda: project_persons(annotated).count())
+    timed("batch_rollup", lambda: batch_rollup(annotated).count())
 
     # C4-style corpus-global line dedup over the extraction output (the
     # post-extraction boilerplate strip: winners shuffle + broadcast apply)
@@ -162,20 +237,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         lambda b: b.filter(b["success"]).select(["doc_id", "extracted_text"]),
         batch_format="pyarrow",
     )
-    t0 = time.time()
-    line_dedup(
+    timed("line_dedup_extracted", lambda: line_dedup(
         seg_text, id_col="doc_id", text_col="extracted_text",
         num_partitions=cfg.dedup_partitions,
-    ).count()
-    queries["line_dedup_extracted"] = round(time.time() - t0, 3)
+    ).count())
 
     # ExactSubstr duplicate-span stats over the documents table (gram
     # resolve shuffle + broadcast searchsorted apply)
     from ocr_sam_project_ray.ops.span_dedup import dup_span_stats
 
-    t0 = time.time()
-    dup_span_stats(docs, num_partitions=8).count()
-    queries["span_dedup_docs"] = round(time.time() - t0, 3)
+    timed("span_dedup_docs", lambda: dup_span_stats(
+        docs, num_partitions=8).count())
 
     # host link graph + fixed-point PageRank over the raw pages corpus
     # (href extraction streams the html payload; ranks stay host-bounded)
@@ -183,30 +255,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     pages_ds = ray.data.read_parquet(paths["pages"],
                                      columns=["url", "html", "text"])
-    t0 = time.time()
-    host_pagerank(pages_ds, iters=5, num_partitions=8).count()
-    queries["host_pagerank"] = round(time.time() - t0, 3)
+    timed("host_pagerank", lambda: host_pagerank(
+        pages_ds, iters=5, num_partitions=8).count())
 
     # per-host quota cap (payload-free prefix-sum keep set)
     from ocr_sam_project_ray.ops.hostquota import host_quota
 
-    t0 = time.time()
-    host_quota(
+    timed("host_quota", lambda: host_quota(
         ray.data.read_parquet(paths["pages"], columns=["url"]), 500,
         num_partitions=8,
-    ).count()
-    queries["host_quota"] = round(time.time() - t0, 3)
+    ).count())
 
     # SemDeDup over the embeddings table (full-corpus k-means + within-
     # cluster cosine pairs + CC + drop)
     from ocr_sam_project_ray.ops.kmeans import semdedup
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    t0 = time.time()
-    kept, _ = semdedup(emb, eps=0.4, n_clusters=8, iters=4,
-                       num_partitions=8)
-    kept.count()
-    queries["semdedup_embeddings"] = round(time.time() - t0, 3)
+
+    def _run_semdedup():
+        kept, _ = semdedup(emb, eps=0.4, n_clusters=8, iters=4,
+                           num_partitions=8)
+        kept.count()
+
+    timed("semdedup_embeddings", _run_semdedup)
 
     # DSIR importance scoring over the documents table (fit both hashed
     # n-gram models in one fold pass, broadcast llr, score every doc)
@@ -215,46 +286,42 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     docs_tbl = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    t0 = time.time()
-    dsir_score(docs_tbl).count()
-    queries["dsir_score_docs"] = round(time.time() - t0, 3)
+    timed("dsir_score_docs", lambda: dsir_score(docs_tbl).count())
 
     # BM25 retrieval over the documents table (stats pass + broadcast
     # term stats + streaming local top-k + per-query merge)
     from ocr_sam_project_ray.ops.bm25 import bm25_topk
 
-    t0 = time.time()
-    bm25_topk(
+    timed("bm25_topk_docs", lambda: bm25_topk(
         docs_tbl,
         ["table scan fast", "window agg join", "hash merge sort",
          "spark row column value"],
         k=10,
-    )
-    queries["bm25_topk_docs"] = round(time.time() - t0, 3)
+    ))
 
     # Hashing-vectorizer linear classifier gate (stateless vectorized
     # map_batches, no shuffle)
     from ocr_sam_project_ray.ops.hashclf import hashclf_score
 
-    t0 = time.time()
-    hashclf_score(docs_tbl).count()
-    queries["hashclf_score_docs"] = round(time.time() - t0, 3)
+    timed("hashclf_score_docs", lambda: hashclf_score(docs_tbl).count())
 
     # text→embedding actor-pool stage (round 4: model-in-__init__ seam,
     # deterministic hash backend) over the documents table
     from ocr_sam_project_ray.stages.embedder import embed_documents
 
-    t0 = time.time()
-    embed_documents(
+    timed("embed_documents", lambda: embed_documents(
         docs_tbl, concurrency=(1, max(4, num_cpus // 4)), batch_size=1024
-    ).count()
-    queries["embed_documents"] = round(time.time() - t0, 3)
+    ).count())
 
     result = {
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": queries,
+        # per-entry object-store telemetry (round 5): peak occupancy and
+        # spill growth during each timed block — the early-warning signal
+        # for payload regressions that wall time alone hides at sf0.1
+        "telemetry": telemetry,
         "sf": _sf_number(sf_dir),
         "num_cpus": num_cpus,
         "docs_out": n_docs,

@@ -124,23 +124,66 @@ def cmd_curate(args) -> int:
 def cmd_ingest(args) -> int:
     """Incremental fragment ingest (the S3-event trigger analog): process
     only parquet fragments without a completed lineage record under
-    --out; re-runs after appending fragments touch only the new ones."""
+    --out; re-runs after appending fragments touch only the new ones.
+
+    ``--watch`` (round 5) closes the operational-parity gap with the
+    reference's push trigger (one invocation per new S3 object,
+    src/document_processor/app.py:63-84) by polling ``--glob`` every
+    ``--interval`` seconds and ingesting the moment NEW fragment files
+    appear; each pickup resets the ``--idle-budget`` clock, and the loop
+    exits once that budget passes with nothing new (so tests and batch
+    jobs terminate). The trigger is object CREATION, like S3 events —
+    an in-place rewrite of an already-ingested path is picked up by the
+    next non-watch run's record-mismatch check, not by the poll."""
     _init_ray(args.num_cpus)
     from .pipelines.checkpoint import ingest_incremental
     from .pipelines.extraction import PipelineConfig
 
-    files = sorted(glob.glob(args.glob)) if args.glob else []
-    if args.files:
-        files += args.files
-    if not files:
-        print(json.dumps({"error": "no input fragments matched"}))
+    cfg = PipelineConfig(dedup_partitions=args.partitions)
+
+    def matched() -> list[str]:
+        files = sorted(glob.glob(args.glob)) if args.glob else []
+        if args.files:
+            files += args.files
+        return files
+
+    if not getattr(args, "watch", False):
+        files = matched()
+        if not files:
+            print(json.dumps({"error": "no input fragments matched"}))
+            return 2
+        metrics = ingest_incremental(
+            files, args.out, cfg,
+            dedup_against_prior=not args.no_prior_dedup,
+        )
+        print(json.dumps(metrics))
+        return 0
+
+    if not args.glob:
+        print(json.dumps({"error": "--watch requires --glob"}))
         return 2
-    metrics = ingest_incremental(
-        files, args.out,
-        PipelineConfig(dedup_partitions=args.partitions),
-        dedup_against_prior=not args.no_prior_dedup,
+    seen: set[str] = set()
+    rounds = 0
+    processed_total = 0
+    last_metrics: dict = {}
+    idle_deadline = time.time() + args.idle_budget
+    while time.time() < idle_deadline:
+        files = matched()
+        if any(f not in seen for f in files):
+            last_metrics = ingest_incremental(
+                files, args.out, cfg,
+                dedup_against_prior=not args.no_prior_dedup,
+            )
+            seen.update(files)
+            rounds += 1
+            processed_total += last_metrics["fragments_processed"]
+            idle_deadline = time.time() + args.idle_budget
+        time.sleep(args.interval)
+    summary = dict(last_metrics)
+    summary.update(
+        {"watch_rounds": rounds, "watch_fragments_processed": processed_total}
     )
-    print(json.dumps(metrics))
+    print(json.dumps(summary))
     return 0
 
 
@@ -175,6 +218,15 @@ def main(argv=None) -> int:
     sp.add_argument("--partitions", type=int, default=16)
     sp.add_argument("--no-prior-dedup", action="store_true",
                     help="skip the cross-fragment url snapshot dedup")
+    sp.add_argument("--watch", action="store_true",
+                    help="poll --glob and ingest new fragments as they "
+                         "appear (push-trigger loop)")
+    sp.add_argument("--interval", type=float, default=2.0,
+                    help="watch poll period, seconds")
+    sp.add_argument("--idle-budget", type=float, default=30.0,
+                    dest="idle_budget",
+                    help="exit watch after this many seconds without a "
+                         "new fragment")
     sp.set_defaults(fn=cmd_ingest)
     for name, fn in [("run", cmd_run), ("resume", cmd_resume),
                      ("split", cmd_split), ("curate", cmd_curate)]:

@@ -352,6 +352,13 @@ def minhash_lsh_pairs(
     if band_sig_bytes not in (1, 8):
         raise ValueError(f"band_sig_bytes must be 1 or 8, got {band_sig_bytes}")
     configure_data_context()
+    # The estimate column's NAME declares which contract produced it:
+    # 'est_jaccard' is the unbiased 8-byte perm agreement, 'est_jaccard_u8'
+    # the low-byte agreement (upward-biased ~(1-j)/256) — so a caller
+    # gating on the estimate alone cannot mistake the biased default for
+    # the unbiased one (round-4 advice). id columns are unchanged either
+    # way, which is all the internal callers read.
+    est_col = "est_jaccard" if band_sig_bytes == 8 else "est_jaccard_u8"
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
@@ -366,12 +373,13 @@ def minhash_lsh_pairs(
         # spilled the object store: 219 s → 39.5 s measured). The
         # agreement estimate compares bytes: a truly-equal perm pair
         # always matches, a differing pair false-matches with P=1/256 —
-        # est_jaccard can only be INFLATED (~(1−j)/256), so the
+        # the estimate can only be INFLATED (~(1−j)/256), so the
         # candidate gate keeps a strict superset and callers that
         # EXACT-verify downstream (near_dup_verified) are unchanged.
-        # Callers gating on est_jaccard alone must pass
-        # band_sig_bytes=8 for the unbiased estimate
-        # (dedup_near_minhash does).
+        # The biased estimate is emitted under the DISTINCT column name
+        # est_jaccard_u8 (unbiased 8-byte runs keep est_jaccard), so
+        # est-gating callers must opt in knowingly; dedup_near_minhash
+        # passes band_sig_bytes=8.
         ship = (
             (sig_m & np.uint64(0xFF)).astype(np.uint8)
             if band_sig_bytes == 1 else sig_m
@@ -395,7 +403,7 @@ def minhash_lsh_pairs(
             {
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
+                est_col: pa.array([], pa.float64()),
             }
         )
         if len(batch) == 0:
@@ -443,7 +451,7 @@ def minhash_lsh_pairs(
             {
                 "id_a": pa.array(np.concatenate(out_a), pa.int64()),
                 "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-                "est_jaccard": pa.array(np.concatenate(out_e), pa.float64()),
+                est_col: pa.array(np.concatenate(out_e), pa.float64()),
             }
         )
 

@@ -48,8 +48,13 @@ def chunked_upper_pairs(
     sims + triu_indices arrays (~1.2 GB per ~8k-row group — measured as
     the dominant semdedup wall at sf1), and each chunk multiplies only
     against columns at-or-right-of itself (``m[lo:]``), halving flops
-    vs a full ``m @ m.T``; each surviving dot product and the emit
-    order are IDENTICAL to the one-shot triu form."""
+    vs a full ``m @ m.T``; the emit order is identical to the one-shot
+    triu form, and each surviving dot product is identical ON THIS
+    BLAS/build (pinned by test_embed's parity test — gemm on different
+    sub-matrix shapes is not universally guaranteed bit-equal across
+    BLAS implementations/threading, so a BLAS change that perturbs a
+    threshold-boundary pair fails that test loudly rather than being
+    silently absorbed here)."""
     out_a, out_b, out_s = [], [], []
     n = len(ids)
     for lo in range(0, n, chunk):

@@ -144,9 +144,10 @@ def _farthest_point_seeds(
         nxt = int(np.lexsort((s_id, max_cos))[0])
         seed_idx.append(nxt)
         chosen[nxt] = True
-    # k > sample size repeats rows via argmin over all-inf only when
-    # every row is chosen; guard by construction: repeat the last pick
-    # (duplicate clusters stay empty through Lloyd's counts==0 guard)
+    # k > sample size: once every sample row is chosen, max_cos is
+    # all-inf and the lexsort tie-break re-picks the MIN-ID row each
+    # remaining round (duplicate seeds → those clusters stay empty
+    # through Lloyd's counts==0 guard)
     return s_m[seed_idx].copy()
 
 

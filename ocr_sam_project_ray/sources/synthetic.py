@@ -639,9 +639,10 @@ CORPUS_VERSION = "v9"  # v9 = cross-host footer links (web-graph fixture)
 
 # pages per scale tier (sf names mirror /root/testdata convention); bench
 # tiers use body_scale>1 (larger pages) so compute dominates fixed costs
-PAGES_PER_SF = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 72000}
-BODY_SCALE_PER_SF = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 10}
-CHECK_STRIDE_PER_SF = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8}
+PAGES_PER_SF = {"sf0.001": 240, "sf0.01": 2400, "sf0.1": 72000,
+                "sf1": 240000}
+BODY_SCALE_PER_SF = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 10, "sf1": 10}
+CHECK_STRIDE_PER_SF = {"sf0.001": 1, "sf0.01": 1, "sf0.1": 8, "sf1": 64}
 
 
 def sf_name(sf_dir: str) -> str:

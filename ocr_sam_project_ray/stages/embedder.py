@@ -29,6 +29,17 @@ Backends:
   contract, it is SQL-recomputable, so the driver oracle checks this
   stage end-to-end (query ``doc_embeddings``) — the same
   deterministic-stand-in policy as stages/scorer.TextScorer.
+- ``"weights:<path>"`` (round 5): a hashed-feature linear projection
+  with LEARNED weights loaded from a parquet ARTIFACT — the load-once
+  seam exercised end-to-end with a real weight file and no external
+  model libs. ``__init__`` reads the (n_buckets, dim) float32 matrix
+  ONCE per actor (this is the expensive step a real encoder pays);
+  ``__call__`` is a pure vectorized EmbeddingBag: each token hashes to
+  a bucket (the same engine-wide lattice hash) and the document vector
+  is the sum of its tokens' weight rows. ``load_log_dir`` (optional)
+  appends one marker file per artifact load — operational telemetry
+  that actor churn isn't silently re-paying model loads; the pytest
+  load-once assertion counts exactly these.
 - ``"model:<name>"``: loads a real sentence-encoder via
   sentence-transformers. That library is NOT in this container, so the
   constructor raises ``NotImplementedError`` with the wiring documented —
@@ -64,6 +75,8 @@ need no float conversion).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -78,15 +91,9 @@ HASH_MOD = 1997
 HASH_SHIFT = 998
 
 
-def hash_embed_batch(texts: list, dim: int = EMBED_DIM) -> np.ndarray:
-    """(n_docs, dim) int64 embedding matrix for one batch — fully
-    vectorized (the ops/hashclf.py U-view shape, widened to a lattice)."""
-    toks_per_doc = [tokenize(t) for t in texts]
-    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-    flat = [tok for toks in toks_per_doc for tok in toks]
-    emb = np.zeros((len(texts), dim), dtype=np.int64)
-    if not flat:
-        return emb
+def _token_lff(flat: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lens, first_cp, last_cp) int64 arrays for a flat token list —
+    the vectorized U-view pass shared by every lattice-hash consumer."""
     n = len(flat)
     maxlen = max(map(len, flat))
     if maxlen <= 128:
@@ -103,6 +110,19 @@ def hash_embed_batch(texts: list, dim: int = EMBED_DIM) -> np.ndarray:
         fl = np.asarray([t[0] + t[-1] for t in flat], dtype="U2")
         pair = fl.view(np.uint32).reshape(n, 2).astype(np.int64)
         first, last = pair[:, 0], pair[:, 1]
+    return lens, first, last
+
+
+def hash_embed_batch(texts: list, dim: int = EMBED_DIM) -> np.ndarray:
+    """(n_docs, dim) int64 embedding matrix for one batch — fully
+    vectorized (the ops/hashclf.py U-view shape, widened to a lattice)."""
+    toks_per_doc = [tokenize(t) for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    emb = np.zeros((len(texts), dim), dtype=np.int64)
+    if not flat:
+        return emb
+    lens, first, last = _token_lff(flat)
     hh = lens * 97 + first * 31 + last
     # Both consumers of hh are modular (j = hh % dim, w via % HASH_MOD),
     # so reducing hh mod (dim * HASH_MOD) first is EXACTLY equivalent to
@@ -122,6 +142,58 @@ def hash_embed_batch(texts: list, dim: int = EMBED_DIM) -> np.ndarray:
     return cells.reshape(len(texts), dim)
 
 
+def write_weights_artifact(path: str, weights: np.ndarray) -> None:
+    """Persist an (n_buckets, dim) weight matrix as the parquet artifact
+    the ``weights:<path>`` backend loads — one FixedSizeList<float32>
+    row per bucket (round-trips exactly through load_weights_artifact)."""
+    import pyarrow.parquet as pq
+
+    w = np.ascontiguousarray(weights, dtype=np.float32)
+    tbl = pa.table(
+        {
+            "row": pa.FixedSizeListArray.from_arrays(
+                pa.array(w.reshape(-1), pa.float32()), w.shape[1]
+            )
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def load_weights_artifact(path: str) -> np.ndarray:
+    """Read the (n_buckets, dim) float32 weight matrix back. This is the
+    once-per-actor load the warm-singleton seam exists for."""
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(path)["row"].combine_chunks()
+    dim = col.type.list_size
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+
+
+def weights_embed_batch(texts: list, weights: np.ndarray) -> np.ndarray:
+    """(n_docs, dim) float32 matrix: hashed EmbeddingBag with LEARNED
+    weights — doc vector = Σ over its tokens of weights[hh(tok) mod
+    n_buckets]. The raw lattice hash needs no pre-reduction here (no
+    multiply follows it, so no int64 overflow is reachable); accumulation
+    runs in float64 (one bincount per output dim — dim is small) and is
+    integer-EXACT whenever the artifact holds integer-valued weights,
+    which is what lets the DuckDB oracle recompute this path bit-for-bit."""
+    toks_per_doc = [tokenize(t) for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    n_docs, dim = len(texts), weights.shape[1]
+    if not flat:
+        return np.zeros((n_docs, dim), dtype=np.float32)
+    lens, first, last = _token_lff(flat)
+    hh = lens * 97 + first * 31 + last
+    b = hh % weights.shape[0]
+    doc_idx = np.repeat(np.arange(n_docs), counts)
+    emb = np.empty((n_docs, dim), dtype=np.float64)
+    w64 = weights.astype(np.float64)
+    for d in range(dim):
+        emb[:, d] = np.bincount(doc_idx, weights=w64[b, d], minlength=n_docs)
+    return emb.astype(np.float32)
+
+
 class Embedder:
     """Actor-pool embedding stage: model in ``__init__``, batches in
     ``__call__``. One instance == one warm actor."""
@@ -133,16 +205,28 @@ class Embedder:
         id_col: str = "doc_id",
         text_col: str = "text",
         out_col: str = "embedding",
+        load_log_dir: str | None = None,
     ):
         self.dim = dim
         self.id_col = id_col
         self.text_col = text_col
         self.out_col = out_col
+        self._load_log_dir = load_log_dir
         if backend == "hash":
             # "load the model": for the deterministic backend the model IS
             # the (dim, lattice-constant) pair; a trained hashed-feature
             # model would load its weight table here instead.
             self._encode = lambda texts: hash_embed_batch(texts, self.dim)
+        elif backend.startswith("weights:"):
+            path = backend.split(":", 1)[1]
+            w = load_weights_artifact(path)  # the once-per-actor load
+            self._log_load(path)
+            if w.shape[1] != self.dim:
+                raise ValueError(
+                    f"weights artifact {path} is {w.shape[1]}-dim, "
+                    f"stage configured for dim={self.dim}"
+                )
+            self._encode = lambda texts: weights_embed_batch(texts, w)
         elif backend.startswith("model:"):
             name = backend.split(":", 1)[1]
             try:
@@ -162,11 +246,25 @@ class Embedder:
         else:
             raise ValueError(f"unknown embedder backend: {backend!r}")
 
+    def _log_load(self, path: str) -> None:
+        """One marker file per artifact load (telemetry proving the
+        warm-actor seam: markers == actors, not batches)."""
+        if not self._load_log_dir:
+            return
+        import tempfile
+
+        os.makedirs(self._load_log_dir, exist_ok=True)
+        fd, _ = tempfile.mkstemp(
+            prefix=f"load.{os.getpid()}.", suffix=".marker",
+            dir=self._load_log_dir,
+        )
+        os.close(fd)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = self._encode(batch[self.text_col].to_pylist())
         if np.issubdtype(mat.dtype, np.integer):
             value_type = pa.int64()
-        else:  # pragma: no cover - real-model branch
+        else:
             value_type = pa.float32()
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(mat.reshape(-1), value_type), self.dim
@@ -184,6 +282,7 @@ def embed_documents(
     concurrency=(1, 8),
     batch_size: int = 256,
     num_gpus: float = 0.0,
+    load_log_dir: str | None = None,
 ) -> Dataset:
     """documents → Dataset(id_col, embedding list<int64|float32>[dim]).
 
@@ -195,6 +294,7 @@ def embed_documents(
         fn_constructor_kwargs=dict(
             backend=backend, dim=dim, id_col=id_col,
             text_col=text_col, out_col=out_col,
+            load_log_dir=load_log_dir,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -296,6 +396,95 @@ def sql_doc_embeddings(
                  CAST(sum((hh * {HASH_MULT}) % {HASH_MOD}
                           - {HASH_SHIFT}) AS BIGINT) AS v
           FROM h GROUP BY doc_id, hh % {dim}
+        ),
+        dims AS (SELECT unnest(range({dim})) AS j),
+        grid AS (
+          SELECT d.{id_col} AS doc_id, dims.j AS j,
+                 coalesce(c.v, 0) AS v
+          FROM {table} d CROSS JOIN dims
+          LEFT JOIN cell c ON c.doc_id = d.{id_col} AND c.j = dims.j
+        )
+        SELECT doc_id,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS embedding
+        FROM grid GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# learned-weights demo artifact + its DuckDB recompute (round 5)
+# --------------------------------------------------------------------------
+
+LEARNED_BUCKETS = 64
+
+
+def demo_learned_weights(
+    n_buckets: int = LEARNED_BUCKETS, dim: int = EMBED_DIM
+) -> np.ndarray:
+    """Deterministic INTEGER-VALUED float32 weight matrix standing in for
+    trained weights: W[b, j] = ((b*31 + j*17) mod 61) - 30. Integer
+    values keep per-cell float64 accumulation exact, which is what lets
+    the DuckDB oracle recompute the weights path value-for-value — the
+    same deterministic-stand-in policy as the hash backend."""
+    b = np.arange(n_buckets, dtype=np.int64)[:, None]
+    j = np.arange(dim, dtype=np.int64)[None, :]
+    return (((b * 31 + j * 17) % 61) - 30).astype(np.float32)
+
+
+def ensure_demo_weights_artifact(
+    cache_dir: str = "/tmp/ocr_sam_ray_weights",
+) -> str:
+    """Write (once, atomically) and return the demo artifact path — the
+    real parquet file the ``weights:`` backend loads once per actor."""
+    path = os.path.join(
+        cache_dir, f"learned_w{LEARNED_BUCKETS}x{EMBED_DIM}.parquet"
+    )
+    if not os.path.exists(path):
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp.{os.getpid()}"
+        write_weights_artifact(tmp, demo_learned_weights())
+        os.replace(tmp, path)
+    return path
+
+
+def sql_doc_embeddings_learned(
+    table: str = "documents",
+    n_buckets: int = LEARNED_BUCKETS,
+    dim: int = EMBED_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB recompute of the weights backend over the demo artifact:
+    emb[j] = Σ_b count(doc tokens in bucket b) x W[b, j], with W
+    re-derived from the demo formula (the oracle checks the ENGINE
+    loaded and applied the artifact correctly — identical cell values
+    are only reachable if the loaded matrix matches). Embedding rendered
+    as the comma-joined int string (invindex convention); integer-valued
+    weights make every float64 sum exact on both engines."""
+    return f"""
+        WITH tok AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(trim({text_col}), '\\s+')) AS tok
+          FROM {table} WHERE trim(coalesce({text_col}, '')) <> ''
+        ),
+        h AS (
+          SELECT doc_id,
+                 (length(tok)*97
+                  + ascii(substr(tok, 1, 1))*31
+                  + ascii(substr(tok, length(tok), 1))) AS hh
+          FROM tok
+        ),
+        bt AS (
+          SELECT doc_id, hh % {n_buckets} AS b, count(*) AS c
+          FROM h GROUP BY doc_id, hh % {n_buckets}
+        ),
+        wv AS (
+          SELECT bb.range AS b, jj.range AS j,
+                 ((bb.range*31 + jj.range*17) % 61) - 30 AS w
+          FROM range({n_buckets}) bb, range({dim}) jj
+        ),
+        cell AS (
+          SELECT doc_id, j, CAST(sum(c * w) AS BIGINT) AS v
+          FROM bt JOIN wv USING (b) GROUP BY doc_id, j
         ),
         dims AS (SELECT unnest(range({dim})) AS j),
         grid AS (

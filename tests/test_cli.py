@@ -121,3 +121,51 @@ def test_status_http_endpoint(tmp_path, monkeypatch):
         assert code == 404
     finally:
         server.shutdown()
+
+
+def test_cli_ingest_watch_picks_up_midstream(tmp_path):
+    """--watch: a fragment dropped into the watched glob WHILE the loop
+    runs is ingested in its own round (only it processed; the earlier
+    fragment skipped), and the loop exits once the idle budget passes."""
+    import shutil
+    import time
+
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    pages = sorted(
+        glob.glob(os.path.join(ensure_corpus(SF)["pages"], "*.parquet"))
+    )
+    watch_dir = tmp_path / "incoming"
+    watch_dir.mkdir()
+    out_dir = str(tmp_path / "watch_out")
+    shutil.copy(pages[0], watch_dir / "frag_a.parquet")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ocr_sam_project_ray.cli", "ingest",
+         "--glob", os.path.join(str(watch_dir), "*.parquet"),
+         "--out", out_dir, "--num-cpus", "2", "--partitions", "2",
+         "--watch", "--interval", "0.5", "--idle-budget", "12"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo",
+    )
+    try:
+        # wait until round 1 (frag_a) completes, then drop frag_b in
+        a_rec = os.path.join(out_dir, "lineage", "frag_a.json")
+        deadline = time.time() + 90
+        while not os.path.exists(a_rec):
+            assert time.time() < deadline, "frag_a never ingested"
+            assert proc.poll() is None, proc.communicate()[1]
+            time.sleep(0.25)
+        shutil.copy(pages[1], watch_dir / "frag_b.parquet")
+        stdout, stderr = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, stderr
+    res = json.loads(stdout.strip().splitlines()[-1])
+    assert res["watch_rounds"] == 2
+    assert res["watch_fragments_processed"] == 2
+    # the LAST ingest call saw both fragments but processed only frag_b
+    assert res["fragments_processed"] == 1
+    assert res["fragments_skipped"] == 1
+    assert os.path.exists(os.path.join(out_dir, "lineage", "frag_b.json"))

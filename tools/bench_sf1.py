@@ -22,8 +22,18 @@ Ops timed (one JSON line on stdout):
 - embed_semdedup    stages/embedder (actor pool, from raw text) ->
                     ops/kmeans.semdedup — the round-4 text->vector path
                     at 100x
+- host_pagerank_{driver,distributed}  BOTH pagerank plans over a
+                    planted 500k-page / 50k-host link fixture (round 5:
+                    the auto-switch bound was previously argued at this
+                    scale, not measured; the distributed timing also
+                    evidences the one-time static partitioning —
+                    per-iteration wall no longer scales with edges)
+- bm25_topk         two-pass stats + broadcast scoring at 500k docs
+- extraction_write / batch_rollup  the headline pipeline + rollup over
+                    the generated sf1 PAGES corpus (240k pages — 10x
+                    the sf0.1 tier in page terms)
 
-Usage: python tools/bench_sf1.py [n_docs]   (default 500_000)
+Usage: python tools/bench_sf1.py [n_docs] [--ops a,b,...]
 Env: RAY_GRAFT_CPUS (default 32)
 """
 
@@ -127,8 +137,68 @@ def ensure_sf1(n_docs: int) -> str:
     return path
 
 
+def build_sf1_pages(n_pages: int, path: str) -> str:
+    """Link-graph fixture at sf1: ``n_pages`` pages over n_pages/10
+    hosts, each page carrying 4 cross-host hrefs (ring + two hub
+    families + one seeded-random) inside a minimal <!DOCTYPE html>
+    payload — the shape ops/linkgraph.extract_links gates on. Planted
+    hubs give the rank recurrence real skew to move."""
+    rng = np.random.default_rng(SEED + 1)
+    n_hosts = max(2, n_pages // 10)
+    rand_dst = rng.integers(0, n_hosts, size=n_pages)
+    urls, htmls, texts = [], [], []
+    for i in range(n_pages):
+        h = i % n_hosts
+        ring = (h + 1) % n_hosts
+        hub_a = h % 97
+        hub_b = h % 997
+        rnd = int(rand_dst[i])
+        urls.append(f"https://h{h}.example/p{i}")
+        htmls.append(
+            ("<!DOCTYPE html><html><body>"
+             f'<a href="https://h{ring}.example/x">r</a>'
+             f'<a href="https://h{hub_a}.example/x">a</a>'
+             f'<a href="https://h{hub_b}.example/x">b</a>'
+             f'<a href="https://h{rnd}.example/x">c</a>'
+             "</body></html>").encode()
+        )
+        texts.append(f"page {i} of host {h}")
+    tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp, row_group_size=50_000)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_sf1_pages(n_pages: int) -> str:
+    path = f"/tmp/ocr_sam_ray_sf1/{SF1_VERSION}/{n_pages}/link_pages.parquet"
+    if not os.path.exists(path):
+        t0 = time.time()
+        build_sf1_pages(n_pages, path)
+        print(f"built sf1 link fixture ({n_pages} pages) in "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+    return path
+
+
+ALL_OPS = ("exact", "near", "line", "semdedup", "pagerank", "bm25",
+           "extraction")
+
+
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else N_DOCS_DEFAULT
+    argv = [a for a in sys.argv[1:]]
+    only = ALL_OPS
+    if "--ops" in argv:
+        i = argv.index("--ops")
+        only = tuple(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    n_docs = int(argv[0]) if argv else N_DOCS_DEFAULT
     path = ensure_sf1(n_docs)
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -147,52 +217,113 @@ def main() -> int:
     def docs():
         return ray.data.read_parquet(path)
 
-    t0 = time.time()
-    from ocr_sam_project_ray.ops.dedup_text import dedup_exact
+    if "exact" in only:
+        t0 = time.time()
+        from ocr_sam_project_ray.ops.dedup_text import dedup_exact
 
-    kept = dedup_exact(docs(), num_partitions=nparts)
-    n_exact_kept = kept.count()
-    results["exact_dedup_s"] = round(time.time() - t0, 2)
-    results["exact_dedup_kept"] = n_exact_kept
+        kept = dedup_exact(docs(), num_partitions=nparts)
+        n_exact_kept = kept.count()
+        results["exact_dedup_s"] = round(time.time() - t0, 2)
+        results["exact_dedup_kept"] = n_exact_kept
 
-    t0 = time.time()
-    from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
-    from ocr_sam_project_ray.ops.graph import (
-        connected_components, drop_by_components,
-    )
+    if "near" in only:
+        t0 = time.time()
+        from ocr_sam_project_ray.ops.dedup_text import near_dup_verified
+        from ocr_sam_project_ray.ops.graph import (
+            connected_components, drop_by_components,
+        )
 
-    pairs = near_dup_verified(docs(), threshold=0.8, num_partitions=nparts)
-    comps = connected_components(pairs, num_partitions=nparts)
-    kept = drop_by_components(docs(), comps, "doc_id", nparts)
-    results["near_dedup_kept"] = kept.count()
-    results["near_dedup_chain_s"] = round(time.time() - t0, 2)
+        pairs = near_dup_verified(docs(), threshold=0.8,
+                                  num_partitions=nparts)
+        comps = connected_components(pairs, num_partitions=nparts)
+        kept = drop_by_components(docs(), comps, "doc_id", nparts)
+        results["near_dedup_kept"] = kept.count()
+        results["near_dedup_chain_s"] = round(time.time() - t0, 2)
 
-    t0 = time.time()
-    from ocr_sam_project_ray.ops.line_dedup import line_dedup
+    if "line" in only:
+        t0 = time.time()
+        from ocr_sam_project_ray.ops.line_dedup import line_dedup
 
-    ld = line_dedup(docs(), num_partitions=nparts)
-    results["line_dedup_rows"] = ld.count()
-    results["line_dedup_s"] = round(time.time() - t0, 2)
+        ld = line_dedup(docs(), num_partitions=nparts)
+        results["line_dedup_rows"] = ld.count()
+        results["line_dedup_s"] = round(time.time() - t0, 2)
 
-    t0 = time.time()
-    from ocr_sam_project_ray.ops.kmeans import semdedup
-    from ocr_sam_project_ray.stages.embedder import embed_documents
+    if "semdedup" in only:
+        t0 = time.time()
+        from ocr_sam_project_ray.ops.kmeans import semdedup
+        from ocr_sam_project_ray.stages.embedder import embed_documents
 
-    # checkpoint the embeddings ONCE (the pipelines/curate.py convention):
-    # k-means seeding + Lloyd iterations + pair verify all re-consume this
-    # dataset, and a lazy lineage would re-run the embed actor pool per pass
-    emb = embed_documents(
-        docs(), concurrency=(1, max(4, ncpu // 2)), batch_size=2048
-    ).materialize()
-    kept, _skipped = semdedup(
-        emb, eps=0.999, n_clusters=64, iters=3, id_col="doc_id",
-        num_partitions=nparts,
-    )
-    results["embed_semdedup_kept"] = kept.count()
-    results["embed_semdedup_s"] = round(time.time() - t0, 2)
+        # checkpoint the embeddings ONCE (the pipelines/curate.py
+        # convention): k-means seeding + Lloyd iterations + pair verify
+        # all re-consume this dataset, and a lazy lineage would re-run
+        # the embed actor pool per pass
+        emb = embed_documents(
+            docs(), concurrency=(1, max(4, ncpu // 2)), batch_size=2048
+        ).materialize()
+        kept, _skipped = semdedup(
+            emb, eps=0.999, n_clusters=64, iters=3, id_col="doc_id",
+            num_partitions=nparts,
+        )
+        results["embed_semdedup_kept"] = kept.count()
+        results["embed_semdedup_s"] = round(time.time() - t0, 2)
+
+    if "pagerank" in only:
+        from ocr_sam_project_ray.ops.linkgraph import host_pagerank
+
+        pages_path = ensure_sf1_pages(n_docs)
+        pages = ray.data.read_parquet(pages_path)
+        # both plans FORCED at 50k hosts / ~2M href rows: the driver
+        # plan holds one |V| int64 vector on the driver; the distributed
+        # plan iterates over the one-time-bucketed static edges
+        t0 = time.time()
+        n_hosts = host_pagerank(
+            pages, iters=5, num_partitions=nparts, plan="driver",
+        ).count()
+        results["host_pagerank_driver_s"] = round(time.time() - t0, 2)
+        results["host_pagerank_hosts"] = n_hosts
+        t0 = time.time()
+        host_pagerank(
+            pages, iters=5, num_partitions=nparts, plan="distributed",
+        ).count()
+        results["host_pagerank_distributed_s"] = round(time.time() - t0, 2)
+
+    if "bm25" in only:
+        t0 = time.time()
+        from ocr_sam_project_ray.ops.bm25 import bm25_topk
+
+        bm25_topk(
+            docs(),
+            ["data corpus engine ray", "arrow shuffle partition",
+             "dedup token quality", "w0001 w0002 w0003 corpus"],
+            k=10,
+        )
+        results["bm25_topk_s"] = round(time.time() - t0, 2)
+
+    if "extraction" in only:
+        import shutil
+
+        from ocr_sam_project_ray.pipelines.extraction import (
+            PipelineConfig, batch_rollup, run_extraction,
+        )
+        from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+        ensure_corpus("sf1")  # untimed generation (cached under /tmp)
+        cfg = PipelineConfig(dedup_partitions=nparts)
+        out_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+        out_dir = os.path.join(out_root, "ocr_sam_ray_sf1_out")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        run_extraction("sf1", cfg).write_parquet(out_dir)
+        results["extraction_write_s"] = round(time.time() - t0, 2)
+        annotated = ray.data.read_parquet(out_dir)
+        results["extraction_rows"] = annotated.count()
+        t0 = time.time()
+        batch_rollup(annotated).count()
+        results["batch_rollup_s"] = round(time.time() - t0, 2)
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     out = {
-        "metric": "sf1-dedup-chain-walls",
+        "metric": "sf1-heavy-op-walls",
         "n_docs": n_docs,
         "num_cpus": ncpu,
         "unit": "sec",
