@@ -132,9 +132,14 @@ def cmd_ingest(args) -> int:
     ``--interval`` seconds and ingesting the moment NEW fragment files
     appear; each pickup resets the ``--idle-budget`` clock, and the loop
     exits once that budget passes with nothing new (so tests and batch
-    jobs terminate). The trigger is object CREATION, like S3 events —
-    an in-place rewrite of an already-ingested path is picked up by the
-    next non-watch run's record-mismatch check, not by the poll."""
+    jobs terminate). A new file is only ingested after its (size, mtime)
+    is STABLE across two consecutive polls — a non-atomic copy landing
+    in the watched dir must not be read mid-write — and the final poll
+    happens after the idle deadline, so a file arriving during the last
+    sleep is still picked up. The trigger is object CREATION, like S3
+    events — an in-place rewrite of an already-ingested path is picked
+    up by the next non-watch run's lineage staleness check (size/mtime
+    recorded per ingest), not by the poll."""
     _init_ray(args.num_cpus)
     from .pipelines.checkpoint import ingest_incremental
     from .pipelines.extraction import PipelineConfig
@@ -163,21 +168,53 @@ def cmd_ingest(args) -> int:
         print(json.dumps({"error": "--watch requires --glob"}))
         return 2
     seen: set[str] = set()
+    pending: dict[str, tuple[int, int]] = {}
     rounds = 0
     processed_total = 0
     last_metrics: dict = {}
     idle_deadline = time.time() + args.idle_budget
-    while time.time() < idle_deadline:
+    while True:
         files = matched()
-        if any(f not in seen for f in files):
+        ready: list[str] = []
+        activity = False
+        for f in files:
+            if f in seen:
+                continue
+            try:
+                st = os.stat(f)
+            except OSError:
+                pending.pop(f, None)
+                continue
+            sig = (st.st_size, st.st_mtime_ns)
+            if pending.get(f) == sig:
+                # unchanged since the previous poll: the writer is done
+                ready.append(f)
+            else:
+                # first sighting, or size/mtime still moving (non-atomic
+                # copy in flight) — hold off one more poll
+                activity = True
+                pending[f] = sig
+        if ready:
+            ready_set = set(ready)
+            batch = [f for f in files if f in seen or f in ready_set]
             last_metrics = ingest_incremental(
-                files, args.out, cfg,
+                batch, args.out, cfg,
                 dedup_against_prior=not args.no_prior_dedup,
             )
-            seen.update(files)
+            seen.update(ready)
+            for f in ready:
+                pending.pop(f, None)
             rounds += 1
             processed_total += last_metrics["fragments_processed"]
             idle_deadline = time.time() + args.idle_budget
+        elif activity:
+            # a file is mid-write: keep the loop open until it settles
+            idle_deadline = max(idle_deadline,
+                                time.time() + args.idle_budget)
+        # deadline checked AFTER the poll so a fragment landing during
+        # the final sleep still gets seen (and, next poll, ingested)
+        if not ready and not activity and time.time() >= idle_deadline:
+            break
         time.sleep(args.interval)
     summary = dict(last_metrics)
     summary.update(

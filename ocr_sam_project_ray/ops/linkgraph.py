@@ -561,6 +561,10 @@ def _pagerank_distributed(
             outs = [outs]
         for p in range(nb):
             static_pieces[p].append(outs[p])
+    # release the pre-split blocks: the bucket pieces duplicate every
+    # static byte, so keeping the materialized dataset referenced through
+    # the iteration phase would hold ~2x |E| in the object store
+    del static_ds
 
     node_pieces: list[list] = [[] for _ in range(nb)]
     for block_ref in nodes.to_arrow_refs():

@@ -313,12 +313,27 @@ def ingest_incremental(
         # path matches — two different files sharing a basename (e.g.
         # /data/a/batch1.parquet vs /data/b/batch1.parquet) must not
         # alias to one lineage record
-        return (
+        if not (
             rec is not None
             and rec.get("kind") == "ingest"
             and rec.get("input_fragment") == [os.path.basename(f)]
             and rec.get("input_path") == os.path.abspath(f)
-        )
+        ):
+            return False
+        # staleness: an in-place REWRITE of an already-ingested path must
+        # reprocess (the reference re-fires per object PUT regardless of
+        # key reuse). Records written before these fields existed match
+        # as before; a vanished input with a completed record also
+        # matches (the normal archived-source case).
+        if "input_size" in rec:
+            try:
+                st = os.stat(f)
+            except OSError:
+                return True
+            if (rec.get("input_size") != st.st_size
+                    or rec.get("input_mtime_ns") != st.st_mtime_ns):
+                return False
+        return True
 
     # prior corpus = urlfp SIDECARS (preferred) or output shards
     # (pre-sidecar fallback) of every fragment completed BEFORE the one
@@ -335,8 +350,13 @@ def ingest_incremental(
         fid for fid, f in zip(ids, files)
         if done.get(fid) is not None and not record_matches(done.get(fid), f)
     }
-    prior_fp_files, prior_url_files = _prior_snapshot_files(
-        out_dir, done, reprocess
+    # the snapshot scan (and its missing-artifact raise) only matters when
+    # prior-url dedup is actually on — an opted-out run must not abort on
+    # archived artifacts it would never read
+    prior_fp_files, prior_url_files = (
+        _prior_snapshot_files(out_dir, done, reprocess)
+        if dedup_against_prior
+        else ([], [])
     )
     for fid, f in zip(ids, files):
         frag_dir = os.path.join(out_dir, f"fragment={fid}")
@@ -347,6 +367,9 @@ def ingest_incremental(
         shutil.rmtree(frag_dir, ignore_errors=True)
         shutil.rmtree(_urlfp_dir(out_dir, fid), ignore_errors=True)
         started = time.time()
+        # signature of the input AS READ — lets record_matches detect an
+        # in-place rewrite (same path, different bytes) on later runs
+        in_stat = os.stat(f)
         ds = ray.data.read_parquet([f])
         if dedup_against_prior and (prior_fp_files or prior_url_files):
             from ..ops.incremental import (
@@ -405,6 +428,8 @@ def ingest_incremental(
                 "kind": "ingest",
                 "input_fragment": [os.path.basename(f)],
                 "input_path": os.path.abspath(f),
+                "input_size": in_stat.st_size,
+                "input_mtime_ns": in_stat.st_mtime_ns,
                 "row_count": n_rows,
                 "success_count": n_ok,
                 "error_count": n_rows - n_ok,

@@ -220,12 +220,14 @@ class Embedder:
         elif backend.startswith("weights:"):
             path = backend.split(":", 1)[1]
             w = load_weights_artifact(path)  # the once-per-actor load
-            self._log_load(path)
             if w.shape[1] != self.dim:
                 raise ValueError(
                     f"weights artifact {path} is {w.shape[1]}-dim, "
                     f"stage configured for dim={self.dim}"
                 )
+            # marker only after validation: a constructor that raises
+            # (Ray retries it) must not inflate the load-once telemetry
+            self._log_load(path)
             self._encode = lambda texts: weights_embed_batch(texts, w)
         elif backend.startswith("model:"):
             name = backend.split(":", 1)[1]

@@ -417,3 +417,75 @@ def test_ingest_missing_snapshot_artifacts_raise(tmp_path, files):
     pq.write_table(pq.read_table(files[1]), dup)
     with pytest.raises(RuntimeError, match="urlfp sidecar"):
         ingest_incremental([dup], out, cfg)
+
+
+def test_ingest_no_prior_dedup_skips_snapshot_scan(tmp_path, files):
+    """dedup_against_prior=False must not touch (or raise on) snapshot
+    artifacts it will never read: the same torn-snapshot state that
+    raises above ingests fine when prior-url dedup is opted out."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "optout")
+    src = str(tmp_path / "frag_a.parquet")
+    shutil.copy(files[0], src)
+    ingest_incremental([src], out, cfg)
+
+    shutil.rmtree(os.path.join(out, "urlfp"))
+    for d in glob.glob(os.path.join(out, "fragment=*")):
+        shutil.rmtree(d)
+
+    dup = str(tmp_path / "zz_next.parquet")
+    pq.write_table(pq.read_table(files[1]), dup)
+    m = ingest_incremental([dup], out, cfg, dedup_against_prior=False)
+    assert m["fragments_processed"] == 1
+
+
+def test_ingest_inplace_rewrite_reprocessed(tmp_path, files):
+    """An in-place REWRITE of an already-ingested path (same basename,
+    same abspath, different bytes) must be reprocessed, not skipped —
+    lineage records carry the input's (size, mtime_ns) signature."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    out = str(tmp_path / "rewrite")
+    src = str(tmp_path / "frag_a.parquet")
+    shutil.copy(files[0], src)
+    m1 = ingest_incremental([src], out, cfg)
+    assert m1["fragments_processed"] == 1
+    n_before = len(_read_fragments(out))
+
+    # unchanged file -> skipped (the resume fast path survives)
+    m2 = ingest_incremental([src], out, cfg)
+    assert m2["fragments_skipped"] == 1
+    assert m2["fragments_processed"] == 0
+
+    # rewrite the path in place with DIFFERENT content
+    pq.write_table(pq.read_table(files[1]), src)
+    m3 = ingest_incremental([src], out, cfg)
+    assert m3["fragments_processed"] == 1
+    assert m3["fragments_skipped"] == 0
+    # the fragment now reflects the new content (old rows replaced; new
+    # urls admitted — prior snapshot excluded the reprocessed fragment)
+    assert len(_read_fragments(out)) != n_before or not pq.read_table(
+        files[0]
+    ).equals(pq.read_table(files[1]))
+
+    # pre-signature records (older engine versions) still match: strip
+    # the new fields from the lineage record and re-run -> skipped
+    rec_path = glob.glob(os.path.join(out, "lineage", "*.json"))[0]
+    rec = json.loads(open(rec_path).read())
+    rec.pop("input_size")
+    rec.pop("input_mtime_ns")
+    with open(rec_path, "w") as fh:
+        json.dump(rec, fh)
+    m4 = ingest_incremental([src], out, cfg)
+    assert m4["fragments_skipped"] == 1

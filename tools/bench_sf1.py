@@ -196,10 +196,25 @@ def main() -> int:
     only = ALL_OPS
     if "--ops" in argv:
         i = argv.index("--ops")
+        if i + 1 >= len(argv):
+            print("--ops requires a comma-separated value, e.g. "
+                  f"--ops exact,near (known: {','.join(ALL_OPS)})",
+                  file=sys.stderr)
+            return 2
         only = tuple(argv[i + 1].split(","))
+        unknown = [o for o in only if o not in ALL_OPS]
+        if unknown:
+            # a typo must fail loudly, not print a success JSON that
+            # silently measured nothing
+            print(f"unknown ops {unknown}; known: {','.join(ALL_OPS)}",
+                  file=sys.stderr)
+            return 2
         del argv[i:i + 2]
     n_docs = int(argv[0]) if argv else N_DOCS_DEFAULT
-    path = ensure_sf1(n_docs)
+    # the 500k-doc corpus is only consumed by the docs() ops — don't pay
+    # its build for a pagerank/extraction-only run on a fresh /tmp
+    docs_ops = {"exact", "near", "line", "semdedup", "bm25"}
+    path = ensure_sf1(n_docs) if docs_ops & set(only) else None
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     import ray
