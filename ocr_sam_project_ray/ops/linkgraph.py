@@ -81,6 +81,19 @@ HREF_RE = r'href="([^"]+)"'
 _HREF_C = re.compile(HREF_RE)
 _ABS_C = re.compile(r"^https?://")
 
+# combiner batch size for CHEAP pre-aggregation combiners over an
+# already-materialized input (node set / out-degrees): map_batches
+# coalesces small blocks up to this, so the combiner truly collapses
+# before the key shuffle. With Ray's default ~200-way read split,
+# per-block combining collapses almost nothing and the shuffle pays
+# (measured: 4M edge rows / 316 blocks -> 4.57M partial rows, 30 s
+# groupby; at 1M-row coalesced batches the partials collapse to ~|V|
+# per batch and the whole setup is ~10x faster). Do NOT use this on a
+# map fused with (or containing) expensive per-row work — bundling
+# many blocks into one task starves the parse parallelism (measured:
+# 2x slower sf1 pagerank when host_linkgraph's combiner bundled).
+COMBINE_BATCH = 1_048_576
+
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 MAX_HOSTS = 5_000_000
@@ -144,7 +157,7 @@ def host_linkgraph(ds: Dataset, num_partitions: int = 4) -> Dataset:
 
     return (
         extract_links(ds)
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["src_host", "dst_host"], num_partitions=num_partitions)
         .aggregate(Sum("n_links", alias_name="n_links"))
     )
@@ -199,7 +212,8 @@ def host_pagerank(
     host_set: set = set()
     out_map: dict = {}
     overflow = False
-    for b in edges.map_batches(deg_partial, batch_format="pyarrow") \
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow",
+                              batch_size=None) \
                   .iter_batches(batch_format="pyarrow"):
         hs = b["host"].to_pylist()
         ns = b["n_sum"].to_pylist()
@@ -251,7 +265,8 @@ def host_pagerank(
             return agg.rename_columns(["dst_host", "inmass"])
 
         inmass = np.zeros(nv, dtype=np.int64)
-        for b in edges.map_batches(contrib, batch_format="pyarrow") \
+        for b in edges.map_batches(contrib, batch_format="pyarrow",
+                                   batch_size=None) \
                       .iter_batches(batch_format="pyarrow"):
             di = np.searchsorted(
                 hosts, np.asarray(b["dst_host"].to_pylist(), dtype=object))
@@ -284,7 +299,8 @@ def _node_set(edges: Dataset, num_partitions: int) -> Dataset:
         return pa.table({"host": u})
 
     return (
-        edges.map_batches(partial, batch_format="pyarrow")
+        edges.map_batches(partial, batch_format="pyarrow",
+                          batch_size=COMBINE_BATCH)
         .groupby("host", num_partitions=num_partitions)
         .aggregate(Count(alias_name="_n"))
         .select_columns(["host"])
@@ -304,7 +320,8 @@ def _out_degrees(edges: Dataset, num_partitions: int) -> Dataset:
         return agg.rename_columns(["host", "outn"])
 
     return (
-        edges.map_batches(partial, batch_format="pyarrow")
+        edges.map_batches(partial, batch_format="pyarrow",
+                          batch_size=COMBINE_BATCH)
         .groupby("host", num_partitions=num_partitions)
         .aggregate(Sum("outn", alias_name="outn"))
     )
@@ -730,7 +747,7 @@ def anchor_terms(ds: Dataset, num_partitions: int = 4) -> Dataset:
         return agg.rename_columns(["dst_host", "term", "n"])
 
     return (
-        ds.map_batches(terms, batch_format="pyarrow")
+        ds.map_batches(terms, batch_format="pyarrow", batch_size=None)
         .groupby(["dst_host", "term"], num_partitions=num_partitions)
         .aggregate(Sum("n", alias_name="n"))
     )
