@@ -121,6 +121,23 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def _parquet_footer_ok(path: str) -> bool:
+    """True when the file ends with the parquet footer magic ``PAR1``.
+    Parquet writers emit the footer only at close, so its presence is
+    the decisive this-file-is-complete signal for watch mode (stat
+    stability alone cannot distinguish a finished copy from a stalled
+    one)."""
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(0, os.SEEK_END)
+            if fh.tell() < 12:  # magic + footer-length + magic
+                return False
+            fh.seek(-4, os.SEEK_END)
+            return fh.read(4) == b"PAR1"
+    except OSError:
+        return False
+
+
 def cmd_ingest(args) -> int:
     """Incremental fragment ingest (the S3-event trigger analog): process
     only parquet fragments without a completed lineage record under
@@ -133,10 +150,15 @@ def cmd_ingest(args) -> int:
     appear; each pickup resets the ``--idle-budget`` clock, and the loop
     exits once that budget passes with nothing new (so tests and batch
     jobs terminate). A new file is only ingested after its (size, mtime)
-    is STABLE across two consecutive polls — a non-atomic copy landing
-    in the watched dir must not be read mid-write — and the final poll
-    happens after the idle deadline, so a file arriving during the last
-    sleep is still picked up. The trigger is object CREATION, like S3
+    is STABLE across two consecutive polls AND its parquet footer magic
+    is present — a non-atomic copy landing in the watched dir must not
+    be read mid-write, and stat stability alone cannot tell a finished
+    copy from a STALLED one (parquet writers only emit the ``PAR1``
+    footer at close, so the footer is the decisive completion signal).
+    Files still footerless at exit are reported in the summary under
+    ``watch_pending_incomplete``. The final poll happens after the idle
+    deadline, so a file arriving during the last sleep is still picked
+    up. The trigger is object CREATION, like S3
     events — an in-place rewrite of an already-ingested path is picked
     up by the next non-watch run's lineage staleness check (size/mtime
     recorded per ingest), not by the poll."""
@@ -186,14 +208,17 @@ def cmd_ingest(args) -> int:
                 pending.pop(f, None)
                 continue
             sig = (st.st_size, st.st_mtime_ns)
-            if pending.get(f) == sig:
-                # unchanged since the previous poll: the writer is done
-                ready.append(f)
-            else:
+            if pending.get(f) != sig:
                 # first sighting, or size/mtime still moving (non-atomic
                 # copy in flight) — hold off one more poll
                 activity = True
                 pending[f] = sig
+            elif _parquet_footer_ok(f):
+                # stat stable AND footer present: the writer closed it
+                ready.append(f)
+            # else: stat stable but footerless — a STALLED mid-copy;
+            # keep waiting without resetting the idle budget (a file
+            # that never completes must not hold the loop open forever)
         if ready:
             ready_set = set(ready)
             batch = [f for f in files if f in seen or f in ready_set]
@@ -220,6 +245,10 @@ def cmd_ingest(args) -> int:
     summary.update(
         {"watch_rounds": rounds, "watch_fragments_processed": processed_total}
     )
+    if pending:
+        # matched but never completed (footerless / still moving at
+        # exit) — surfaced so a truncated producer is never silent
+        summary["watch_pending_incomplete"] = sorted(pending)
     print(json.dumps(summary))
     return 0
 

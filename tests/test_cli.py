@@ -169,3 +169,75 @@ def test_cli_ingest_watch_picks_up_midstream(tmp_path):
     assert res["fragments_processed"] == 1
     assert res["fragments_skipped"] == 1
     assert os.path.exists(os.path.join(out_dir, "lineage", "frag_b.json"))
+
+
+def test_cli_ingest_watch_waits_for_stable_file(tmp_path):
+    """--watch write-stability guard: a fragment COPIED NON-ATOMICALLY
+    into the watched dir (two chunks with a pause between) must be
+    ingested exactly once, with its FULL row count — never read
+    mid-copy (a truncated parquet would crash the loop or, worse,
+    permanently record a partial ingest)."""
+    import shutil
+    import time
+
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    pages = sorted(
+        glob.glob(os.path.join(ensure_corpus(SF)["pages"], "*.parquet"))
+    )
+    import pyarrow.parquet as pq
+
+    full_rows = pq.read_metadata(pages[0]).num_rows
+    watch_dir = tmp_path / "incoming"
+    watch_dir.mkdir()
+    out_dir = str(tmp_path / "stable_out")
+    target = watch_dir / "frag_slow.parquet"
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ocr_sam_project_ray.cli", "ingest",
+         "--glob", os.path.join(str(watch_dir), "*.parquet"),
+         "--out", out_dir, "--num-cpus", "2", "--partitions", "2",
+         "--watch", "--interval", "0.5", "--idle-budget", "12"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo",
+    )
+    try:
+        # give the watch loop time to start polling the (empty) glob,
+        # then land the file in two chunks with a pause >> interval:
+        # several polls observe a PARTIAL file whose stat keeps moving
+        time.sleep(2.0)
+        raw = open(pages[0], "rb").read()
+        cut = len(raw) // 2
+        with open(target, "wb") as fh:
+            fh.write(raw[:cut])
+            fh.flush()
+            os.fsync(fh.fileno())
+            time.sleep(2.0)  # 4 polls see the truncated half-file
+            fh.write(raw[cut:])
+        stdout, stderr = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, stderr
+    res = json.loads(stdout.strip().splitlines()[-1])
+    # ingested exactly once, after the copy completed, with every byte
+    assert res["watch_rounds"] == 1
+    assert res["watch_fragments_processed"] == 1
+    assert "watch_pending_incomplete" not in res
+    rec = json.load(open(os.path.join(out_dir, "lineage",
+                                      "frag_slow.json")))
+    assert rec["input_size"] == len(raw)
+    # the splitter emits 1->N sub-docs, so row_count is >= input pages;
+    # exactness = same row_count as a NON-watch ingest of the same bytes
+    assert rec["row_count"] >= full_rows
+    ref_out = str(tmp_path / "ref_out")
+    ref = subprocess.run(
+        [sys.executable, "-m", "ocr_sam_project_ray.cli", "ingest",
+         "--files", pages[0], "--out", ref_out,
+         "--num-cpus", "2", "--partitions", "2"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert ref.returncode == 0, ref.stderr
+    ref_rec = json.load(open(glob.glob(
+        os.path.join(ref_out, "lineage", "*.json"))[0]))
+    assert rec["row_count"] == ref_rec["row_count"]
