@@ -82,6 +82,7 @@ from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -122,6 +123,100 @@ def _tf_matrix(
             )
             tf = cells.reshape(len(texts), nt).astype(np.int64)
     return tf, dl
+
+
+def _doc_term_table(
+    ds: Dataset, terms: list[str], id_col: str, text_col: str
+) -> Dataset:
+    """ONE corpus tokenize → materialized SPARSE per-doc term table
+    ``(id_col, dl:int64, tids:list<int32>, tfs:list<int64>)`` holding
+    only tf>0 cells over the bounded query-term vocabulary. Every input
+    row appears (token-less docs carry empty lists) so N folds from row
+    count. Stored cells ≤ corpus token count, so the intermediate is
+    strictly smaller than the text it replaces and streams/spills like
+    any dataset — at 100 TB this trades one extra (small) materialized
+    pass for HALVING the corpus reads and tokenizations."""
+    import pandas as pd
+
+    idx = pd.Index(terms, dtype=object)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: batch[id_col],
+                "dl": pa.array([], pa.int64()),
+                "tids": pa.array([], pa.list_(pa.int32())),
+                "tfs": pa.array([], pa.list_(pa.int64())),
+            })
+        col = batch[text_col]
+        parts: list[pa.Table] = []
+        # tokenize in bounded chunks (whole-block token flattening would
+        # materialize ~GB transients — the _corpus_stats discipline)
+        for lo in range(0, batch.num_rows, 4096):
+            ids = batch[id_col].slice(lo, 4096)
+            texts = col.slice(lo, 4096).to_pylist()
+            tf, dl = _tf_matrix(texts, idx)
+            r, c = np.nonzero(tf)          # row-major: grouped by doc
+            counts = np.bincount(r, minlength=len(texts))
+            offsets = np.zeros(len(texts) + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            parts.append(pa.table({
+                id_col: ids,
+                "dl": pa.array(dl, pa.int64()),
+                "tids": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(c.astype(np.int32), pa.int32()),
+                ),
+                "tfs": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(tf[r, c], pa.int64()),
+                ),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(
+        per_doc, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+
+def _stats_from_doc_terms(
+    inter: Dataset, terms: list[str]
+) -> tuple[int, int, dict[str, int], int]:
+    """(N, T, {term: df}, max_dl) folded from the sparse per-doc term
+    table — no tokenization; one tiny partial row per block lands on
+    the driver (bounded by block count)."""
+    nt = len(terms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        flat = batch["tids"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        # stored cells are tf>0 and unique per (doc, term), so df is a
+        # straight bincount of term ids
+        df = np.bincount(flat, minlength=nt) if nt else np.zeros(0)
+        return pa.table({
+            "n_docs": pa.array([len(dl)], pa.int64()),
+            "total_tokens": pa.array([int(dl.sum())], pa.int64()),
+            "max_dl": pa.array(
+                [int(dl.max()) if dl.size else 0], pa.int64()
+            ),
+            "df": pa.array([df.astype(np.int64).tolist()],
+                           pa.list_(pa.int64())),
+        })
+
+    rows = inter.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n_docs = sum(r["n_docs"] for r in rows)
+    total_tokens = sum(r["total_tokens"] for r in rows)
+    max_dl = max((r["max_dl"] for r in rows), default=0)
+    df_tot = np.zeros(nt, dtype=np.int64)
+    for r in rows:
+        df_tot += np.asarray(r["df"], dtype=np.int64)
+    return n_docs, total_tokens, {
+        t: int(df_tot[i]) for i, t in enumerate(terms) if df_tot[i] > 0
+    }, max_dl
 
 
 def _corpus_stats(
@@ -304,14 +399,20 @@ def bm25_topk(
 
     if scoring not in ("auto", "rational", "float"):
         raise ValueError(f"unknown bm25 scoring contract: {scoring!r}")
-    # prune to the two live columns before either pass: the stats pass
-    # needs only text, the scoring pass (id, text) — nothing else leaves
-    # the read
+    # prune to the two live columns, then TOKENIZE ONCE: the corpus text
+    # is read and tokenized in a single pass that materializes a sparse
+    # per-doc term table (doc_id, dl, tids, tfs — only tf>0 cells, so
+    # its token-cell count is bounded by the corpus token count and it
+    # spills like any dataset); both the stats fold and the scoring pass
+    # consume the intermediate. Previously stats + scoring each ran
+    # their own full tokenize — 2x the dominant cost (measured at sf1:
+    # 500k docs, 16.3 s -> see BASELINE round 5).
     ds = ds.select_columns([id_col, text_col])
     qterms = _query_terms(queries)
     all_terms = sorted({t for qt in qterms for t in qt})
-    n_docs, total_tokens, df_map, max_dl = _corpus_stats(
-        ds.select_columns([text_col]), all_terms, text_col
+    inter = _doc_term_table(ds, all_terms, id_col, text_col)
+    n_docs, total_tokens, df_map, max_dl = _stats_from_doc_terms(
+        inter, all_terms
     )
     max_qterms = max((len(tl) for tl in qterms), default=0)
     if scoring == "auto":
@@ -345,13 +446,22 @@ def bm25_topk(
         for term in tlist:
             if term in pos:
                 qmask[qid, pos[term]] = 1
+    # tids in the intermediate index ALL_TERMS; scoring runs over the
+    # live subset — renumber with a broadcast lookup array. (A stored
+    # cell's term always has df>0, so every stored tid maps to a live
+    # column; the -1 branch is structural safety only.)
+    all_pos = {t: i for i, t in enumerate(all_terms)}
+    live_map = np.full(len(all_terms), -1, dtype=np.int32)
+    for j, t in enumerate(live_terms):
+        live_map[all_pos[t]] = j
     # broadcast once, read per task — never re-shipped per batch
     ref = ray.put(
-        (live_terms, idf, qmask, n_docs, total_tokens, scoring)
+        (live_map, len(live_terms), idf, qmask, n_docs, total_tokens,
+         scoring)
     )
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        terms, idf_v, qm, n, t, mode = ray.get(ref)
+        lmap, n_live, idf_v, qm, n, t, mode = ray.get(ref)
         empty = pa.table(
             {
                 "qid": pa.array([], pa.int64()),
@@ -359,11 +469,25 @@ def bm25_topk(
                 score_col: pa.array([], score_type),
             }
         )
-        if not terms or t == 0:
+        if n_live == 0 or t == 0 or batch.num_rows == 0:
             return empty
-        texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        tf, dl = _tf_matrix(texts, pd.Index(terms, dtype=object))
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        # dense (docs x live terms) tf rebuilt from the sparse cells —
+        # no tokenization here; the corpus text never reaches this pass
+        tids_la = batch["tids"].combine_chunks()
+        flat_t = tids_la.flatten().to_numpy(zero_copy_only=False)
+        flat_v = batch["tfs"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        lens = pc.list_value_length(tids_la).to_numpy(
+            zero_copy_only=False
+        )
+        doc_idx = np.repeat(np.arange(len(ids)), lens)
+        live = lmap[flat_t]
+        keep = live >= 0
+        tf = np.zeros((len(ids), n_live), dtype=np.int64)
+        tf[doc_idx[keep], live[keep]] = flat_v[keep]
         if mode == "rational":
             c = _contrib_matrix(tf, dl, idf_v, n, t)
             # per-(query, doc) integer score + hit mask via two int64
@@ -423,8 +547,8 @@ def bm25_topk(
     # and short-circuit when NOTHING matched: an all-empty-blocks input
     # loses its schema through the hash shuffle (the Ray 2.49 empty-block
     # trap) and a column-less merge frame would KeyError downstream
-    partials = ds.map_batches(
-        local_topk, batch_format="pyarrow", batch_size=1024
+    partials = inter.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=4096
     ).materialize()
     if partials.count() == 0:
         return typed_empty()
