@@ -158,10 +158,13 @@ def cmd_ingest(args) -> int:
     Files still footerless at exit are reported in the summary under
     ``watch_pending_incomplete``. The final poll happens after the idle
     deadline, so a file arriving during the last sleep is still picked
-    up. The trigger is object CREATION, like S3
-    events — an in-place rewrite of an already-ingested path is picked
-    up by the next non-watch run's lineage staleness check (size/mtime
-    recorded per ingest), not by the poll."""
+    up. The trigger is object CREATION, like S3 events; an in-place
+    REWRITE of an already-ingested path does not trigger a round, but a
+    COMPLETED rewrite (footer present) rides along with the next
+    triggered round, where the lineage staleness check (size/mtime
+    recorded per ingest) reprocesses it — a rewrite still in flight is
+    excluded from the batch, and a rewrite finishing after the last
+    round is picked up by the next non-watch run."""
     _init_ray(args.num_cpus)
     from .pipelines.checkpoint import ingest_incremental
     from .pipelines.extraction import PipelineConfig
@@ -221,7 +224,16 @@ def cmd_ingest(args) -> int:
             # that never completes must not hold the loop open forever)
         if ready:
             ready_set = set(ready)
-            batch = [f for f in files if f in seen or f in ready_set]
+            # already-seen files ride along so the lineage skip (or the
+            # size/mtime staleness REPROCESS, for a completed in-place
+            # rewrite) applies — but only when their footer is present:
+            # a seen path mid-rewrite is excluded from the batch, or the
+            # staleness check would read it half-written
+            batch = [
+                f for f in files
+                if f in ready_set
+                or (f in seen and _parquet_footer_ok(f))
+            ]
             last_metrics = ingest_incremental(
                 batch, args.out, cfg,
                 dedup_against_prior=not args.no_prior_dedup,

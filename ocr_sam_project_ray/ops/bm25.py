@@ -47,18 +47,24 @@ is made ONCE on the driver from the stats pass's (N, T, max_dl) fold
 per batch; ``scoring='rational'`` restores the old raise-on-overflow
 behaviour, ``scoring='float'`` forces the log-idf path.
 
-Scale shape:
-1. stats pass: one column-pruned streaming pass emits ONE tiny partial
-   row per block (n_docs, total_tokens, df vector over the bounded
-   query-term set); the driver folds block partials (bounded by block
-   count — the ops/bloom.py take_all convention);
-2. scoring pass: (live terms, idf vector, query-term mask, N, T) are
-   ``ray.put`` once; every batch builds its (docs x terms) tf matrix
-   with one hash-indexer pass + one bincount, forms the contribution
-   matrix elementwise, reduces to per-(query, doc) scores with one
-   int64 matmul, and emits its LOCAL top-k per query (k x n_blocks
-   rows total) — no per-doc Python loop anywhere in the hot path;
-3. merge: ``groupby(qid).map_groups`` per-query reduction — scales
+Scale shape (round 5 — the corpus is read and tokenized exactly ONCE):
+1. tokenize pass: one column-pruned streaming pass materializes a
+   SPARSE per-doc term table (doc_id, dl, tids, tfs — only tf>0 cells
+   over the bounded query-term vocabulary; stored cells ≤ corpus token
+   count, so it spills like any dataset); the corpus text never flows
+   past this pass;
+2. stats fold: a tokenize-free pass over the term table emits ONE tiny
+   partial row per block (n_docs, total_tokens, df vector); the driver
+   folds block partials (bounded by block count — the ops/bloom.py
+   take_all convention) and decides the scoring contract;
+3. scoring pass: (live-term map, idf vector, query-term mask, N, T)
+   are ``ray.put`` once; every batch of the term table rebuilds its
+   dense (docs x live terms) tf matrix from the sparse cells (repeat +
+   scatter, no tokenization), forms the contribution matrix
+   elementwise, reduces to per-(query, doc) scores with one int64
+   matmul, and emits its LOCAL top-k per query (k x n_blocks rows
+   total) — no per-doc Python loop anywhere in the hot path;
+4. merge: ``groupby(qid).map_groups`` per-query reduction — scales
    with query count, never corpus size (same as embed._merge_topk).
 
 ``rrf_fuse`` combines bounded top-k rankings from heterogeneous
@@ -150,8 +156,8 @@ def _doc_term_table(
             })
         col = batch[text_col]
         parts: list[pa.Table] = []
-        # tokenize in bounded chunks (whole-block token flattening would
-        # materialize ~GB transients — the _corpus_stats discipline)
+        # tokenize in bounded chunks: flattening a whole 128 MB block's
+        # tokens at once would materialize ~GB Python-string transients
         for lo in range(0, batch.num_rows, 4096):
             ids = batch[id_col].slice(lo, 4096)
             texts = col.slice(lo, 4096).to_pylist()
@@ -216,60 +222,6 @@ def _stats_from_doc_terms(
         df_tot += np.asarray(r["df"], dtype=np.int64)
     return n_docs, total_tokens, {
         t: int(df_tot[i]) for i, t in enumerate(terms) if df_tot[i] > 0
-    }, max_dl
-
-
-def _corpus_stats(
-    ds: Dataset, terms: list[str], text_col: str
-) -> tuple[int, int, dict[str, int], int]:
-    """(N, T, {term: df}, max_dl) in one streaming pass; one partial row
-    per block lands on the driver (bounded by block count). max_dl (the
-    longest document's token count) bounds every tf, so the driver can
-    decide rational-vs-float scoring BEFORE the scoring pass."""
-    import pandas as pd
-
-    order = {t: i for i, t in enumerate(terms)}
-    idx = pd.Index(terms, dtype=object)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        # ONE output row per block (the driver fold must stay bounded by
-        # block count, not row count), but tokenize in bounded chunks:
-        # flattening a whole 128 MB block's tokens at once would
-        # materialize ~1 GB of transient Python strings. df / N / T are
-        # additive and max_dl is max-mergeable, so chunking is exact.
-        n_rows = 0
-        total = 0
-        max_dl = 0
-        df = np.zeros(len(order), dtype=np.int64)
-        col = batch[text_col]
-        for lo in range(0, batch.num_rows, 4096):
-            texts = col.slice(lo, 4096).to_pylist()
-            tf, dl = _tf_matrix(texts, idx)
-            n_rows += len(texts)
-            total += int(dl.sum())
-            if dl.size:
-                max_dl = max(max_dl, int(dl.max()))
-            df += (tf > 0).sum(axis=0).astype(np.int64)
-        return pa.table(
-            {
-                "n_docs": pa.array([n_rows], pa.int64()),
-                "total_tokens": pa.array([total], pa.int64()),
-                "max_dl": pa.array([max_dl], pa.int64()),
-                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
-            }
-        )
-
-    rows = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    n_docs = sum(r["n_docs"] for r in rows)
-    total_tokens = sum(r["total_tokens"] for r in rows)
-    max_dl = max((r["max_dl"] for r in rows), default=0)
-    df_tot = np.zeros(len(order), dtype=np.int64)
-    for r in rows:
-        df_tot += np.asarray(r["df"], dtype=np.int64)
-    return n_docs, total_tokens, {
-        t: int(df_tot[i]) for t, i in order.items() if df_tot[i] > 0
     }, max_dl
 
 
@@ -395,8 +347,6 @@ def bm25_topk(
 
     ``_parity_bound`` exists for tests: shrinking it forces the auto
     switch on a small corpus without synthesizing 2^53 tokens."""
-    import pandas as pd
-
     if scoring not in ("auto", "rational", "float"):
         raise ValueError(f"unknown bm25 scoring contract: {scoring!r}")
     # prune to the two live columns, then TOKENIZE ONCE: the corpus text

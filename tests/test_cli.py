@@ -241,3 +241,85 @@ def test_cli_ingest_watch_waits_for_stable_file(tmp_path):
     ref_rec = json.load(open(glob.glob(
         os.path.join(ref_out, "lineage", "*.json"))[0]))
     assert rec["row_count"] == ref_rec["row_count"]
+
+
+def test_cli_ingest_watch_inplace_rewrite(tmp_path):
+    """In-place rewrite of an already-ingested path during watch: while
+    the rewrite is IN FLIGHT (footerless) the path must be excluded
+    from triggered batches (the staleness check would read it
+    half-written); once the rewrite COMPLETES, it rides along with the
+    next triggered round and is reprocessed via the lineage staleness
+    check."""
+    import shutil
+    import time
+
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    pages = sorted(
+        glob.glob(os.path.join(ensure_corpus(SF)["pages"], "*.parquet"))
+    )
+    assert len(pages) >= 2
+    watch_dir = tmp_path / "incoming"
+    watch_dir.mkdir()
+    out_dir = str(tmp_path / "rw_out")
+    frag_a = watch_dir / "frag_a.parquet"
+    shutil.copy(pages[0], frag_a)
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ocr_sam_project_ray.cli", "ingest",
+         "--glob", os.path.join(str(watch_dir), "*.parquet"),
+         "--out", out_dir, "--num-cpus", "2", "--partitions", "2",
+         "--watch", "--interval", "0.5", "--idle-budget", "15"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo",
+    )
+
+    def wait_for(pred, what, deadline_s=90):
+        deadline = time.time() + deadline_s
+        while not pred():
+            assert time.time() < deadline, f"timed out waiting: {what}"
+            assert proc.poll() is None, proc.communicate()[1]
+            time.sleep(0.25)
+
+    a_rec = os.path.join(out_dir, "lineage", "frag_a.json")
+    b_rec = os.path.join(out_dir, "lineage", "frag_b.json")
+    c_rec = os.path.join(out_dir, "lineage", "frag_c.json")
+    # rewrite content = pages[1] bytes (the corpus has 2 fragments; the
+    # rewritten frag_a will dedup to 0 new rows against frag_b — the
+    # test asserts REPROCESSING via input_size, not row_count)
+    new_bytes = open(pages[1], "rb").read()
+    try:
+        wait_for(lambda: os.path.exists(a_rec), "round 1 (frag_a)")
+        # begin an in-place rewrite of frag_a: truncate + half, NO footer
+        fh = open(frag_a, "wb")
+        fh.write(new_bytes[: len(new_bytes) // 2])
+        fh.flush()
+        os.fsync(fh.fileno())
+        # trigger round 2 while the rewrite is stalled mid-write
+        shutil.copy(pages[1], watch_dir / "frag_b.parquet")
+        wait_for(lambda: os.path.exists(b_rec), "round 2 (frag_b)")
+        m2 = json.load(open(b_rec))
+        assert m2["status"] == "completed"
+        # frag_a must NOT have been touched while footerless
+        assert json.load(open(a_rec))["input_size"] == os.path.getsize(
+            pages[0]
+        )
+        # complete the rewrite, then trigger round 3
+        fh.write(new_bytes[len(new_bytes) // 2:])
+        fh.close()
+        shutil.copy(pages[1], watch_dir / "frag_c.parquet")
+        wait_for(
+            lambda: os.path.exists(c_rec)
+            and json.load(open(a_rec)).get("input_size") == len(new_bytes),
+            "round 3 (frag_c + frag_a reprocess)",
+        )
+        stdout, stderr = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, stderr
+    res = json.loads(stdout.strip().splitlines()[-1])
+    assert res["watch_rounds"] == 3
+    # rounds processed 1 (frag_a) + 1 (frag_b) + 2 (frag_c + rewritten
+    # frag_a)
+    assert res["watch_fragments_processed"] == 4

@@ -1,7 +1,9 @@
 """Evidence for the one-time-partitioning pagerank plan (round-4 judge
 directive #2): with the host count FIXED, grow the edge table 4x and
 measure the MARGINAL per-iteration wall of ``_pagerank_distributed``
-(wall(iters=10) - wall(iters=2)) / 8.
+as the slope (wall(iters=18) - wall(iters=2)) / 16, min of 2 reps per
+level (the one-time setup dominates a single run, so a large iteration
+delta is needed to isolate the per-round cost).
 
 Under the old plan the static edge table flowed through a hash shuffle
 every iteration, so the marginal cost scaled with |E|. Under the
