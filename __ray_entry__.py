@@ -501,6 +501,36 @@ def _q_multimodal_meta(sf_dir: str):
     )
 
 
+def _q_multimodal_resize(sf_dir: str):
+    """Round-5 pixel-REAL multimodal transform: decode actual pixels of
+    the fixture's PNG/GIF/BMP payloads (ops/imagepix.py — zlib inflate +
+    scanline unfilter, general GIF LZW, 24-bpp BMP), nearest-neighbor
+    halve under the exact-integer floor mapping, re-encode as BMP — all
+    on an actor-pool map_batches stage with blob-sized batches. The
+    oracle recomputes every emitted column (source dims, halved dims,
+    exact re-encoded byte size 54 + rowstride*h) in closed form from
+    doc_id; pixel CONTENT is pinned by tests/test_imagepix.py against
+    the generators' formulas."""
+    from ocr_sam_project_ray.ops.imagepix import resize_payloads
+    from ocr_sam_project_ray.ops.multimodal import payloads_from_documents
+
+    ds = resize_payloads(payloads_from_documents(_docs(sf_dir)))
+    df = (
+        ds.select_columns(
+            ["item_id", "format", "src_w", "src_h", "out_w", "out_h",
+             "n_bytes", "decodable"]
+        )
+        .to_pandas()
+    )
+    df = (
+        df[df.decodable]
+        .drop(columns=["decodable"])
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+    return df
+
+
 def _embeddings(sf_dir: str):
     import ray.data
 
@@ -1738,6 +1768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (no further head swaps); oracle-checked by tools/check_oracle.py
         #   and pytest (test_mixture), like the retired entries below.
         "mixture_sample": _q_mixture_sample,
+        # * multimodal_resize (round 5): pixel-real decode → nearest
+        #   resize → BMP re-encode on an actor pool (ops/imagepix.py)
+        "multimodal_resize": _q_multimodal_resize,
         # * dup_span_stats / strip_dup_spans: round-3 ExactSubstr span
         #   dedup (ops/span_dedup.py), same placement rationale as
         #   mixture_sample; both have full DuckDB oracles below and are
@@ -2352,6 +2385,28 @@ def _ops_oracles() -> dict[str, str]:
                         WHEN k = 2 THEN 'bmp-header'
                         ELSE 'stub' END AS decode_backend
             FROM m
+        """,
+        "multimodal_resize": """
+            WITH m AS (
+              SELECT doc_id AS item_id, doc_id % 5 AS k,
+                     CAST(2 + doc_id % 31 AS INT) AS src_w,
+                     CAST(2 + doc_id % 17 AS INT) AS src_h
+              FROM documents
+              WHERE doc_id % 5 IN (0, 1, 2)
+            ), r AS (
+              SELECT item_id,
+                     CASE WHEN k = 0 THEN 'png'
+                          WHEN k = 1 THEN 'gif'
+                          ELSE 'bmp' END AS format,
+                     src_w, src_h,
+                     CAST(greatest(1, src_w // 2) AS INT) AS out_w,
+                     CAST(greatest(1, src_h // 2) AS INT) AS out_h
+              FROM m
+            )
+            SELECT item_id, format, src_w, src_h, out_w, out_h,
+                   CAST(54 + ((3 * out_w + 3) // 4 * 4) * out_h
+                        AS BIGINT) AS n_bytes
+            FROM r
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e

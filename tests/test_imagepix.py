@@ -1,0 +1,133 @@
+"""Real pixel decode / resize / re-encode (ops/imagepix.py): content
+pinned against the generators' closed-form patterns, resize mapping
+pinned against the exact-integer floor contract, stage + oracle shapes
+driven end-to-end over the payloads fixture."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_sam_project_ray.ops.imagebytes import (
+    pad_payload, tiny_bmp, tiny_gif, tiny_png,
+)
+from ocr_sam_project_ray.ops.imagepix import (
+    ResizeImages, _decode_bmp, decode_pixels, encode_bmp, nearest_resize,
+)
+
+
+def _bmp_expected(w, h):
+    """tiny_bmp writes formula rows in STORAGE order; bottom-up BMP
+    means a conforming reader sees them vertically flipped, BGR→RGB."""
+    exp = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                exp[h - 1 - y, x, 2 - c] = (x * 13 + y * 7 + c * 3) % 256
+    return exp
+
+
+@pytest.mark.parametrize("w,h", [(2, 2), (13, 9), (32, 18)])
+def test_bmp_pixels_match_generator(w, h):
+    px = decode_pixels(pad_payload(tiny_bmp(w, h, 144)))
+    assert px.shape == (h, w, 3)
+    assert (px == _bmp_expected(w, h)).all()
+
+
+@pytest.mark.parametrize("w,h", [(2, 2), (13, 9), (31, 17)])
+def test_png_pixels_match_generator(w, h):
+    px = decode_pixels(pad_payload(tiny_png(w, h, 216)))
+    gray = np.array(
+        [[(x * 31 + y * 17) % 251 for x in range(w)] for y in range(h)],
+        np.uint8,
+    )
+    assert (px == np.repeat(gray[:, :, None], 3, 2)).all()
+
+
+@pytest.mark.parametrize("w,h", [(2, 2), (13, 9), (20, 11)])
+def test_gif_pixels_match_generator(w, h):
+    """Full general LZW decode recovers the 2-color pattern (palette:
+    index 0 black, index 1 white; index(i) = (i*7) % 2 row-major)."""
+    px = decode_pixels(pad_payload(tiny_gif(w, h)))
+    idx = np.fromiter(
+        ((i * 7) % 2 for i in range(w * h)), np.uint8, count=w * h
+    ).reshape(h, w)
+    exp = np.where(idx[:, :, None] == 1, 255, 0).astype(np.uint8)
+    assert (px == exp).all()
+
+
+def test_nearest_resize_floor_mapping():
+    """out[y, x] == src[(y*src_h)//out_h, (x*src_w)//out_w] — exact."""
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    out = nearest_resize(src, 5, 4)
+    for y in range(4):
+        for x in range(5):
+            assert (out[y, x] == src[(y * 9) // 4, (x * 13) // 5]).all()
+    # upscale works under the same mapping
+    up = nearest_resize(src, 26, 18)
+    assert (up[::2, ::2] == src).all()
+
+
+def test_encode_bmp_roundtrip_and_size():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(7, 10, 3), dtype=np.uint8)
+    enc = encode_bmp(px)
+    assert len(enc) == 54 + ((3 * 10 + 3) // 4 * 4) * 7
+    assert (_decode_bmp(enc) == px).all()
+
+
+def test_decode_pixels_rejects_non_images():
+    assert decode_pixels(b"just some text bytes here") is None
+    assert decode_pixels(b"") is None
+    # truncated PNG: header sniffs but decode fails -> None, not raise
+    assert decode_pixels(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+
+
+def test_resize_stage_batch_contract():
+    """The stage kernel: per-row error capture (text rows pass through
+    decodable=false), halved dims clamped at 1, BMP output re-decodable."""
+    stage = ResizeImages(num=1, den=2)
+    batch = pa.table({
+        "item_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array(
+            [pad_payload(tiny_bmp(13, 9, 72)), b"not an image",
+             pad_payload(tiny_png(2, 2, 72))],
+            pa.binary(),
+        ),
+    })
+    out = stage(batch)
+    assert out["decodable"].to_pylist() == [True, False, True]
+    assert out["src_w"].to_pylist() == [13, 0, 2]
+    assert out["out_w"].to_pylist() == [6, 0, 1]
+    assert out["out_h"].to_pylist() == [4, 0, 1]
+    nb = out["n_bytes"].to_pylist()
+    assert nb[0] == 54 + ((3 * 6 + 3) // 4 * 4) * 4
+    assert nb[1] == 0
+    # output payload is itself a decodable BMP with the resized content
+    resized = decode_pixels(out["payload_out"][0].as_py())
+    assert (resized == nearest_resize(_bmp_expected(13, 9), 6, 4)).all()
+
+
+def test_resize_payloads_end_to_end(ray_session):
+    """Actor-pool stage over the payloads fixture: every image row
+    (doc_id % 5 in {0,1,2}) decodes and resizes; every text row is
+    captured, none dropped."""
+    import ray.data
+
+    from ocr_sam_project_ray.ops.imagepix import resize_payloads
+    from ocr_sam_project_ray.ops.multimodal import payloads_from_documents
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).limit(50)
+    out = resize_payloads(payloads_from_documents(docs)).to_pandas()
+    assert len(out) == 50
+    img = out[out.item_id % 5 < 3]
+    txt = out[out.item_id % 5 >= 3]
+    assert img.decodable.all() and not txt.decodable.any()
+    assert (img.src_w == 2 + img.item_id % 31).all()
+    assert (img.src_h == 2 + img.item_id % 17).all()
+    assert (img.out_w == np.maximum(1, img.src_w // 2)).all()
+    row = ((3 * img.out_w + 3) // 4 * 4)
+    assert (img.n_bytes == 54 + row * img.out_h).all()
