@@ -531,6 +531,27 @@ def _q_multimodal_resize(sf_dir: str):
     return df
 
 
+def _q_image_channel_stats(sf_dir: str):
+    """Round-5 image FEATURE EXTRACTION with a numeric pixel oracle:
+    exact per-channel pixel sums (int64, reduction-order-free) over the
+    decoded images — the oracle re-derives every sum by evaluating the
+    generators' pixel formulas cell-by-cell in SQL (generate_series
+    cross product), so a single wrong pixel anywhere in the BMP / PNG
+    zlib / GIF LZW decode paths mismatches the hash."""
+    from ocr_sam_project_ray.ops.imagepix import channel_stats_payloads
+    from ocr_sam_project_ray.ops.multimodal import payloads_from_documents
+
+    ds = channel_stats_payloads(payloads_from_documents(_docs(sf_dir)))
+    df = ds.to_pandas()
+    df = (
+        df[df.decodable]
+        .drop(columns=["decodable"])
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+    return df
+
+
 def _embeddings(sf_dir: str):
     import ray.data
 
@@ -1768,9 +1789,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (no further head swaps); oracle-checked by tools/check_oracle.py
         #   and pytest (test_mixture), like the retired entries below.
         "mixture_sample": _q_mixture_sample,
-        # * multimodal_resize (round 5): pixel-real decode → nearest
-        #   resize → BMP re-encode on an actor pool (ops/imagepix.py)
+        # * multimodal_resize / image_channel_stats (round 5):
+        #   pixel-real decode → nearest resize → BMP re-encode, and
+        #   exact per-channel pixel sums with a cell-by-cell SQL pixel
+        #   oracle (ops/imagepix.py)
         "multimodal_resize": _q_multimodal_resize,
+        "image_channel_stats": _q_image_channel_stats,
         # * dup_span_stats / strip_dup_spans: round-3 ExactSubstr span
         #   dedup (ops/span_dedup.py), same placement rationale as
         #   mixture_sample; both have full DuckDB oracles below and are
@@ -2407,6 +2431,48 @@ def _ops_oracles() -> dict[str, str]:
                    CAST(54 + ((3 * out_w + 3) // 4 * 4) * out_h
                         AS BIGINT) AS n_bytes
             FROM r
+        """,
+        "image_channel_stats": """
+            WITH m AS (
+              SELECT doc_id AS item_id, doc_id % 5 AS k,
+                     2 + doc_id % 31 AS w, 2 + doc_id % 17 AS h
+              FROM documents
+              WHERE doc_id % 5 IN (0, 1, 2)
+            ),
+            -- one row per PIXEL: the oracle re-evaluates the generator
+            -- formulas cell-by-cell (ops/imagebytes.py tiny_png/gif/bmp)
+            px AS (
+              SELECT item_id, k, w, h,
+                     unnest(range(w * h)) AS i
+              FROM m
+            ),
+            v AS (
+              SELECT item_id, k, w, h,
+                     i % w AS x, i // w AS y
+              FROM px
+            )
+            SELECT item_id,
+                   CASE WHEN k = 0 THEN 'png'
+                        WHEN k = 1 THEN 'gif'
+                        ELSE 'bmp' END AS format,
+                   CAST(w * h AS BIGINT) AS n_px,
+                   CAST(sum(CASE WHEN k = 0 THEN (x*31 + y*17) % 251
+                            WHEN k = 1 THEN
+                              CASE WHEN (y*w + x) % 2 = 1 THEN 255 ELSE 0 END
+                            ELSE (x*13 + y*7 + 6) % 256 END)
+                        AS BIGINT) AS sum_r,
+                   CAST(sum(CASE WHEN k = 0 THEN (x*31 + y*17) % 251
+                            WHEN k = 1 THEN
+                              CASE WHEN (y*w + x) % 2 = 1 THEN 255 ELSE 0 END
+                            ELSE (x*13 + y*7 + 3) % 256 END)
+                        AS BIGINT) AS sum_g,
+                   CAST(sum(CASE WHEN k = 0 THEN (x*31 + y*17) % 251
+                            WHEN k = 1 THEN
+                              CASE WHEN (y*w + x) % 2 = 1 THEN 255 ELSE 0 END
+                            ELSE (x*13 + y*7 + 0) % 256 END)
+                        AS BIGINT) AS sum_b
+            FROM v
+            GROUP BY item_id, k, w, h
         """,
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e

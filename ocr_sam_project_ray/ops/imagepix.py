@@ -318,3 +318,54 @@ def resize_payloads(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageChannelStats:
+    """Feature-extraction stage: exact per-channel pixel SUMS (int64,
+    reduction-order-free) + pixel count per image — the integer-contract
+    form of mean-color features (mean = sum / n_px, derived exactly by
+    any consumer). Same per-row error capture as ResizeImages."""
+
+    def __init__(self, id_col: str = "item_id",
+                 payload_col: str = "payload"):
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.payload_col].to_pylist()
+        fmt_o, n_o, r_o, g_o, b_o, ok_o = [], [], [], [], [], []
+        for payload in payloads:
+            px = decode_pixels(payload) if payload is not None else None
+            if px is None:
+                fmt_o.append(sniff_format(payload or b""))
+                n_o.append(0); r_o.append(0); g_o.append(0); b_o.append(0)
+                ok_o.append(False)
+                continue
+            s = px.astype(np.int64).sum(axis=(0, 1))
+            fmt_o.append(sniff_format(payload))
+            n_o.append(px.shape[0] * px.shape[1])
+            r_o.append(int(s[0])); g_o.append(int(s[1]))
+            b_o.append(int(s[2])); ok_o.append(True)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "format": pa.array(fmt_o, pa.string()),
+            "n_px": pa.array(n_o, pa.int64()),
+            "sum_r": pa.array(r_o, pa.int64()),
+            "sum_g": pa.array(g_o, pa.int64()),
+            "sum_b": pa.array(b_o, pa.int64()),
+            "decodable": pa.array(ok_o, pa.bool_()),
+        })
+
+
+def channel_stats_payloads(
+    ds: Dataset, batch_size: int = 32, concurrency=(1, 4)
+) -> Dataset:
+    """Run the channel-stats actor pool with blob-appropriate batches."""
+    return ds.map_batches(
+        ImageChannelStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -131,3 +131,49 @@ def test_resize_payloads_end_to_end(ray_session):
     assert (img.out_w == np.maximum(1, img.src_w // 2)).all()
     row = ((3 * img.out_w + 3) // 4 * 4)
     assert (img.n_bytes == 54 + row * img.out_h).all()
+
+
+def test_channel_stats_match_numpy():
+    """Exact per-channel sums equal brute-force numpy sums for all three
+    formats; text rows captured with decodable=false."""
+    from ocr_sam_project_ray.ops.imagepix import ImageChannelStats
+
+    stage = ImageChannelStats()
+    payloads = [
+        pad_payload(tiny_bmp(13, 9, 72)),
+        pad_payload(tiny_png(7, 5, 72)),
+        pad_payload(tiny_gif(6, 4)),
+        b"plain text",
+    ]
+    out = stage(pa.table({
+        "item_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    }))
+    assert out["decodable"].to_pylist() == [True, True, True, False]
+    for i in range(3):
+        px = decode_pixels(payloads[i]).astype(np.int64)
+        assert out["n_px"][i].as_py() == px.shape[0] * px.shape[1]
+        s = px.sum(axis=(0, 1))
+        assert out["sum_r"][i].as_py() == s[0]
+        assert out["sum_g"][i].as_py() == s[1]
+        assert out["sum_b"][i].as_py() == s[2]
+    assert out["n_px"][3].as_py() == 0
+
+
+def test_channel_stats_end_to_end(ray_session):
+    from ocr_sam_project_ray.ops.imagepix import channel_stats_payloads
+    from ocr_sam_project_ray.ops.multimodal import payloads_from_documents
+
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).limit(40)
+    out = channel_stats_payloads(payloads_from_documents(docs)).to_pandas()
+    img = out[out.decodable]
+    assert (img.item_id % 5 < 3).all()
+    assert (img.n_px == (2 + img.item_id % 31) * (2 + img.item_id % 17)).all()
+    # gif: sum = 255 * number of odd pixel indices = 255 * (n_px // 2)
+    gif = img[img.format == "gif"]
+    assert (gif.sum_r == 255 * (gif.n_px // 2)).all()
