@@ -552,6 +552,31 @@ def _q_image_channel_stats(sf_dir: str):
     return df
 
 
+def _q_gif_frame_sample(sf_dir: str):
+    """Round-5 frame sampling over REAL multi-frame animated GIFs
+    (graphic-control extensions, one genuine LZW stream per frame):
+    decode all frames, keep every 2nd, emit per-sampled-frame exact
+    pixel sums. The oracle recomputes the sampled frame set AND each
+    frame's pixel sum in closed form (white count =
+    (w*h + f + 1) // (f + 2), distinct per frame) — a wrong frame
+    boundary, a dropped frame, or one wrong pixel mismatches."""
+    from ocr_sam_project_ray.ops.imagepix import (
+        anim_payloads_from_documents, frame_sample_payloads,
+    )
+
+    ds = frame_sample_payloads(
+        anim_payloads_from_documents(_docs(sf_dir)), every=2
+    )
+    df = ds.to_pandas()
+    df = (
+        df[df.decodable]
+        .drop(columns=["decodable"])
+        .sort_values(["item_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    return df
+
+
 def _embeddings(sf_dir: str):
     import ray.data
 
@@ -1795,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   oracle (ops/imagepix.py)
         "multimodal_resize": _q_multimodal_resize,
         "image_channel_stats": _q_image_channel_stats,
+        "gif_frame_sample": _q_gif_frame_sample,
         # * dup_span_stats / strip_dup_spans: round-3 ExactSubstr span
         #   dedup (ops/span_dedup.py), same placement rationale as
         #   mixture_sample; both have full DuckDB oracles below and are
@@ -2431,6 +2457,29 @@ def _ops_oracles() -> dict[str, str]:
                    CAST(54 + ((3 * out_w + 3) // 4 * 4) * out_h
                         AS BIGINT) AS n_bytes
             FROM r
+        """,
+        "gif_frame_sample": """
+            WITH m AS (
+              SELECT doc_id AS item_id,
+                     2 + doc_id % 31 AS w, 2 + doc_id % 17 AS h,
+                     1 + doc_id % 4 AS nf
+              FROM documents
+            ), s AS (
+              SELECT item_id, w, h, nf, unnest(range(0, nf, 2)) AS f
+              FROM m
+            )
+            SELECT item_id,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(w AS INT) AS w,
+                   CAST(h AS INT) AS h,
+                   CAST(255 * ((w*h + f + 1) // (f + 2)) AS BIGINT)
+                     AS sum_r,
+                   CAST(255 * ((w*h + f + 1) // (f + 2)) AS BIGINT)
+                     AS sum_g,
+                   CAST(255 * ((w*h + f + 1) // (f + 2)) AS BIGINT)
+                     AS sum_b
+            FROM s
         """,
         "image_channel_stats": """
             WITH m AS (

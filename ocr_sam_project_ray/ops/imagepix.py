@@ -369,3 +369,159 @@ def channel_stats_payloads(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def decode_gif_frames(payload: bytes) -> list:
+    """ALL frames of a (possibly animated) GIF as full-size RGB arrays.
+    Envelope: every frame must be full-canvas with the global palette
+    and no interlace — frame-replace semantics, no disposal compositing
+    (raises loudly outside it; the corpus's animations and the common
+    full-frame screen-capture shape are inside)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w0, h0 = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    i = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=i
+        ).reshape(n, 3)
+        i += 3 * n
+    frames = []
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension (incl. graphic control): skip
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:
+            left, top, iw, ih = struct.unpack_from("<HHHH", payload, i + 1)
+            iflags = payload[i + 9]
+            if iflags & 0xC0:
+                raise ValueError(
+                    "unsupported GIF (local palette / interlace)"
+                )
+            if (left, top, iw, ih) != (0, 0, w0, h0):
+                raise ValueError(
+                    "unsupported GIF (sub-canvas frame; this decoder "
+                    "covers full-frame-replace animations)"
+                )
+            if palette is None:
+                raise ValueError("GIF without a global color table")
+            i += 10
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while payload[i] != 0:
+                ln = payload[i]
+                data += payload[i + 1: i + 1 + ln]
+                i += 1 + ln
+            i += 1
+            idx = _gif_lzw(bytes(data), min_code, iw * ih)
+            frames.append(palette[idx.reshape(ih, iw)])
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return frames
+
+
+class FrameSample:
+    """Video/animation frame sampling as a 1→N flat-map stage: decode
+    all frames of an animated GIF, keep every ``every``-th one, and emit
+    one row per SAMPLED frame with its exact per-channel pixel sums —
+    the standard pre-processing step before per-frame feature
+    extraction. Non-GIF / undecodable payloads emit one captured row
+    (frame_idx = -1, decodable = false); nothing is ever dropped."""
+
+    def __init__(self, every: int = 2, id_col: str = "item_id",
+                 payload_col: str = "payload"):
+        if every < 1:
+            raise ValueError("every must be >= 1")
+        self.every = every
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.payload_col].to_pylist()
+        o_id, o_nf, o_fi, o_w, o_h = [], [], [], [], []
+        o_r, o_g, o_b, o_ok = [], [], [], []
+        for item_id, payload in zip(ids, payloads):
+            frames = None
+            if payload is not None and sniff_format(payload) == "gif":
+                try:
+                    frames = decode_gif_frames(payload)
+                except (ValueError, struct.error, IndexError):
+                    frames = None
+            if frames is None:
+                o_id.append(item_id); o_nf.append(0); o_fi.append(-1)
+                o_w.append(0); o_h.append(0)
+                o_r.append(0); o_g.append(0); o_b.append(0)
+                o_ok.append(False)
+                continue
+            for fi in range(0, len(frames), self.every):
+                px = frames[fi]
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                o_id.append(item_id); o_nf.append(len(frames))
+                o_fi.append(fi)
+                o_h.append(px.shape[0]); o_w.append(px.shape[1])
+                o_r.append(int(s[0])); o_g.append(int(s[1]))
+                o_b.append(int(s[2])); o_ok.append(True)
+        return pa.table({
+            self.id_col: pa.array(o_id, pa.int64()),
+            "n_frames": pa.array(o_nf, pa.int32()),
+            "frame_idx": pa.array(o_fi, pa.int32()),
+            "w": pa.array(o_w, pa.int32()),
+            "h": pa.array(o_h, pa.int32()),
+            "sum_r": pa.array(o_r, pa.int64()),
+            "sum_g": pa.array(o_g, pa.int64()),
+            "sum_b": pa.array(o_b, pa.int64()),
+            "decodable": pa.array(o_ok, pa.bool_()),
+        })
+
+
+def frame_sample_payloads(
+    ds: Dataset, every: int = 2, batch_size: int = 32, concurrency=(1, 4)
+) -> Dataset:
+    """Run the frame-sampling actor pool with blob-appropriate batches."""
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def anim_payloads_from_documents(docs: Dataset) -> Dataset:
+    """Animated-GIF fixture derived from the documents table: every doc
+    carries a REAL multi-frame GIF (ops/imagebytes.tiny_gif_anim) with
+    closed-form dims (the multimodal fixture formulas) and
+    ``n_frames = 1 + doc_id % 4`` — every output of the frame-sampling
+    stage is a pure function of doc_id that DuckDB recomputes."""
+    from .imagebytes import tiny_gif_anim
+    from .multimodal import fixture_dims
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for did in ids:
+            w, h = fixture_dims(did)
+            # unpadded: a 4-frame GIF at max fixture dims exceeds the
+            # 2 KB pad budget, and no oracle column depends on n_bytes
+            payloads.append(tiny_gif_anim(w, h, 1 + did % 4))
+        return pa.table({
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        f, batch_format="pyarrow"
+    )

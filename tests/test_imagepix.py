@@ -177,3 +177,68 @@ def test_channel_stats_end_to_end(ray_session):
     # gif: sum = 255 * number of odd pixel indices = 255 * (n_px // 2)
     gif = img[img.format == "gif"]
     assert (gif.sum_r == 255 * (gif.n_px // 2)).all()
+
+
+def test_gif_anim_frames_match_generator():
+    """Multi-frame decode: every frame of tiny_gif_anim recovered with
+    the per-frame pattern (white iff i % (f+2) == 0) and the closed-form
+    white count (w*h + f + 1) // (f + 2)."""
+    from ocr_sam_project_ray.ops.imagebytes import tiny_gif_anim
+    from ocr_sam_project_ray.ops.imagepix import decode_gif_frames
+
+    for w, h, nf in [(5, 4, 1), (6, 3, 4), (13, 9, 3)]:
+        frames = decode_gif_frames(tiny_gif_anim(w, h, nf))
+        assert len(frames) == nf
+        for f, px in enumerate(frames):
+            idx = np.fromiter(
+                (1 if i % (f + 2) == 0 else 0 for i in range(w * h)),
+                np.uint8, count=w * h,
+            ).reshape(h, w)
+            exp = np.where(idx[:, :, None] == 1, 255, 0).astype(np.uint8)
+            assert (px == exp).all()
+            assert int(px[:, :, 0].astype(np.int64).sum()) == 255 * (
+                (w * h + f + 1) // (f + 2)
+            )
+
+
+def test_frame_sample_stage_contract():
+    """every=2 keeps frames 0, 2, ...; non-GIF rows captured with
+    frame_idx=-1; single-frame GIFs emit exactly frame 0."""
+    from ocr_sam_project_ray.ops.imagebytes import tiny_gif_anim
+    from ocr_sam_project_ray.ops.imagepix import FrameSample
+
+    stage = FrameSample(every=2)
+    out = stage(pa.table({
+        "item_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array(
+            [tiny_gif_anim(4, 3, 4), b"not a gif", tiny_gif_anim(5, 2, 1)],
+            pa.binary(),
+        ),
+    }))
+    rows = list(zip(out["item_id"].to_pylist(), out["frame_idx"].to_pylist(),
+                    out["n_frames"].to_pylist(), out["decodable"].to_pylist()))
+    assert rows == [(1, 0, 4, True), (1, 2, 4, True),
+                    (2, -1, 0, False), (3, 0, 1, True)]
+    # sampled frame 2 of item 1: white count (12 + 3) // 4 = 3
+    assert out["sum_r"][1].as_py() == 255 * 3
+
+
+def test_frame_sample_end_to_end(ray_session):
+    import ray.data
+
+    from ocr_sam_project_ray.ops.imagepix import (
+        anim_payloads_from_documents, frame_sample_payloads,
+    )
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    ).limit(30)
+    out = frame_sample_payloads(
+        anim_payloads_from_documents(docs), every=2
+    ).to_pandas()
+    assert out.decodable.all()
+    assert (out.n_frames == 1 + out.item_id % 4).all()
+    assert (out.frame_idx % 2 == 0).all()
+    wh = (2 + out.item_id % 31) * (2 + out.item_id % 17)
+    assert (out.sum_g == 255 * ((wh + out.frame_idx + 1)
+                                // (out.frame_idx + 2))).all()
