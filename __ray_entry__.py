@@ -577,6 +577,28 @@ def _q_gif_frame_sample(sf_dir: str):
     return df
 
 
+def _q_image_dhash(sf_dir: str):
+    """Round-5 perceptual image fingerprint (dHash): 9x8 nearest-grid
+    channel-sum differences → 64-bit hash, emitted as int32-range
+    (hi, lo) halves. The oracle recomputes every BIT in SQL: the grid
+    coordinates are the exact-integer floor mapping, the cell values
+    are the generators' pixel formulas (flipped for bottom-up BMP), and
+    the halves are bit-shift sums — wrong sampling, wrong gray
+    reduction, or one flipped comparison mismatches."""
+    from ocr_sam_project_ray.ops.imagepix import dhash_payloads
+    from ocr_sam_project_ray.ops.multimodal import payloads_from_documents
+
+    ds = dhash_payloads(payloads_from_documents(_docs(sf_dir)))
+    df = ds.to_pandas()
+    df = (
+        df[df.decodable]
+        .drop(columns=["decodable"])
+        .sort_values("item_id")
+        .reset_index(drop=True)
+    )
+    return df
+
+
 def _embeddings(sf_dir: str):
     import ray.data
 
@@ -1821,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": _q_multimodal_resize,
         "image_channel_stats": _q_image_channel_stats,
         "gif_frame_sample": _q_gif_frame_sample,
+        "image_dhash": _q_image_dhash,
         # * dup_span_stats / strip_dup_spans: round-3 ExactSubstr span
         #   dedup (ops/span_dedup.py), same placement rationale as
         #   mixture_sample; both have full DuckDB oracles below and are
@@ -2457,6 +2480,50 @@ def _ops_oracles() -> dict[str, str]:
                    CAST(54 + ((3 * out_w + 3) // 4 * 4) * out_h
                         AS BIGINT) AS n_bytes
             FROM r
+        """,
+        "image_dhash": """
+            WITH m AS (
+              SELECT doc_id AS item_id, doc_id % 5 AS k,
+                     2 + doc_id % 31 AS w, 2 + doc_id % 17 AS h
+              FROM documents
+              WHERE doc_id % 5 IN (0, 1, 2)
+            ), b AS (
+              SELECT item_id, k, w, h, unnest(range(64)) AS j
+              FROM m
+            ), c AS (
+              SELECT item_id, k, w, h, j,
+                     ((j % 8) * w) // 9 AS x1,
+                     (((j % 8) + 1) * w) // 9 AS x2,
+                     ((j // 8) * h) // 8 AS sy
+              FROM b
+            ), v AS (
+              SELECT item_id, k, j,
+                CASE WHEN k = 0 THEN 3 * ((x1*31 + sy*17) % 251)
+                     WHEN k = 1 THEN CASE WHEN (sy*w + x1) % 2 = 1
+                                          THEN 765 ELSE 0 END
+                     ELSE ((x1*13 + (h-1-sy)*7) % 256)
+                          + ((x1*13 + (h-1-sy)*7 + 3) % 256)
+                          + ((x1*13 + (h-1-sy)*7 + 6) % 256) END AS g1,
+                CASE WHEN k = 0 THEN 3 * ((x2*31 + sy*17) % 251)
+                     WHEN k = 1 THEN CASE WHEN (sy*w + x2) % 2 = 1
+                                          THEN 765 ELSE 0 END
+                     ELSE ((x2*13 + (h-1-sy)*7) % 256)
+                          + ((x2*13 + (h-1-sy)*7 + 3) % 256)
+                          + ((x2*13 + (h-1-sy)*7 + 6) % 256) END AS g2
+              FROM c
+            )
+            SELECT item_id,
+                   CASE WHEN k = 0 THEN 'png'
+                        WHEN k = 1 THEN 'gif'
+                        ELSE 'bmp' END AS format,
+                   CAST(sum(CASE WHEN g1 > g2 AND j >= 32
+                            THEN (CAST(1 AS BIGINT) << (j - 32))
+                            ELSE 0 END) AS BIGINT) AS dhash_hi,
+                   CAST(sum(CASE WHEN g1 > g2 AND j < 32
+                            THEN (CAST(1 AS BIGINT) << j)
+                            ELSE 0 END) AS BIGINT) AS dhash_lo
+            FROM v
+            GROUP BY item_id, k
         """,
         "gif_frame_sample": """
             WITH m AS (

@@ -525,3 +525,66 @@ def anim_payloads_from_documents(docs: Dataset) -> Dataset:
     return docs.select_columns(["doc_id"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def dhash_bits(px: np.ndarray) -> tuple[int, int]:
+    """64-bit difference hash (dHash — the standard perceptual
+    fingerprint for near-duplicate image detection): sample the image to
+    a 9x8 grid with the exact-integer nearest mapping, reduce each cell
+    to its CHANNEL SUM (monotone-equivalent to the mean, no division),
+    set bit j = y*8 + x iff cell (x, y) is strictly brighter than its
+    right neighbor. Returned as (hi, lo) int32-range halves so the
+    value survives every int64/SQL bridge sign-free."""
+    g = px.astype(np.int64).sum(axis=2)
+    grid = nearest_resize(g[:, :, None], 9, 8)[:, :, 0]
+    bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64)  # (8 rows, 8 cols)
+    j = (np.arange(8)[:, None] * 8 + np.arange(8)[None, :])
+    lo = int((bits * np.where(j < 32, 1 << (j % 32), 0)).sum())
+    hi = int((bits * np.where(j >= 32, 1 << (j % 32), 0)).sum())
+    return hi, lo
+
+
+class ImageDHash:
+    """Perceptual-fingerprint stage: dHash per decodable image — the
+    image-side analog of the text fingerprint family (ops/winnow.py,
+    doc_fingerprint): group by (dhash_hi, dhash_lo) downstream for exact
+    perceptual dedup, or Hamming-band the halves for near-dup blocking."""
+
+    def __init__(self, id_col: str = "item_id",
+                 payload_col: str = "payload"):
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        payloads = batch[self.payload_col].to_pylist()
+        fmt_o, hi_o, lo_o, ok_o = [], [], [], []
+        for payload in payloads:
+            px = decode_pixels(payload) if payload is not None else None
+            if px is None:
+                fmt_o.append(sniff_format(payload or b""))
+                hi_o.append(0); lo_o.append(0); ok_o.append(False)
+                continue
+            hi, lo = dhash_bits(px)
+            fmt_o.append(sniff_format(payload))
+            hi_o.append(hi); lo_o.append(lo); ok_o.append(True)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "format": pa.array(fmt_o, pa.string()),
+            "dhash_hi": pa.array(hi_o, pa.int64()),
+            "dhash_lo": pa.array(lo_o, pa.int64()),
+            "decodable": pa.array(ok_o, pa.bool_()),
+        })
+
+
+def dhash_payloads(
+    ds: Dataset, batch_size: int = 32, concurrency=(1, 4)
+) -> Dataset:
+    """Run the dHash actor pool with blob-appropriate batches."""
+    return ds.map_batches(
+        ImageDHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -242,3 +242,51 @@ def test_frame_sample_end_to_end(ray_session):
     wh = (2 + out.item_id % 31) * (2 + out.item_id % 17)
     assert (out.sum_g == 255 * ((wh + out.frame_idx + 1)
                                 // (out.frame_idx + 2))).all()
+
+
+def test_dhash_bits_properties():
+    """dHash: identical images collide; a brightness-structure change
+    flips bits; halves stay in int32 range (sign-safe across bridges)."""
+    from ocr_sam_project_ray.ops.imagepix import dhash_bits
+
+    a = decode_pixels(pad_payload(tiny_bmp(13, 9, 72)))
+    assert dhash_bits(a) == dhash_bits(a.copy())
+    hi, lo = dhash_bits(a)
+    assert 0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
+    # flat image -> no strict gradients -> zero hash
+    flat = np.full((8, 9, 3), 77, np.uint8)
+    assert dhash_bits(flat) == (0, 0)
+    # strictly increasing brightness left->right -> all comparisons
+    # false (right neighbor brighter) -> zero; reversed -> all 64 bits
+    ramp = np.repeat(
+        np.arange(9, dtype=np.uint8)[None, :, None] * 20, 8, axis=0
+    ).repeat(3, axis=2)
+    assert dhash_bits(ramp) == (0, 0)
+    assert dhash_bits(ramp[:, ::-1]) == (2 ** 32 - 1, 2 ** 32 - 1)
+
+
+def test_dhash_stage_end_to_end(ray_session):
+    import ray.data
+
+    from ocr_sam_project_ray.ops.imagepix import dhash_bits, dhash_payloads
+    from ocr_sam_project_ray.ops.multimodal import payloads_from_documents
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    ).limit(40)
+    out = dhash_payloads(payloads_from_documents(docs)).to_pandas()
+    img = out[out.decodable]
+    assert (img.item_id % 5 < 3).all()
+    # spot-check one row against a direct kernel call
+    row = img.iloc[0]
+    did = int(row.item_id)
+    w, h = 2 + did % 31, 2 + did % 17
+    k = did % 5
+    payload = pad_payload(
+        tiny_png(w, h, 72) if k == 0
+        else tiny_gif(w, h) if k == 1 else tiny_bmp(w, h, 72)
+    )
+    assert (row.dhash_hi, row.dhash_lo) == dhash_bits(
+        decode_pixels(payload)
+    )
