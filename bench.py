@@ -313,6 +313,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         docs_tbl, concurrency=(1, max(4, num_cpus // 4)), batch_size=1024
     ).count())
 
+    # blob-heavy actor-pool path (round 5): synthesize real image
+    # payloads from the documents table and fingerprint them — the
+    # telemetry showcase for binary columns (small batches, payloads
+    # never cross a shuffle)
+    from ocr_sam_project_ray.ops.imagepix import dhash_payloads
+    from ocr_sam_project_ray.ops.multimodal import payloads_from_documents
+
+    timed("image_dhash_docs", lambda: dhash_payloads(
+        payloads_from_documents(docs_tbl),
+        batch_size=64, concurrency=(1, max(4, num_cpus // 4)),
+    ).count())
+
     result = {
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),
