@@ -1471,6 +1471,31 @@ def _q_bpe_merges(sf_dir: str):
     )
 
 
+def _q_bpe_encode_docs(sf_dir: str):
+    """BPE ENCODE under a frozen merge list (ops/bpe_apply.py): per-doc
+    exact subword token counts — the packed single-char symbol
+    representation makes the apply a replace chain the DuckDB oracle
+    recomputes verbatim (sql_bpe_encode_stats)."""
+    from ocr_sam_project_ray.ops.bpe_apply import bpe_encode_stats
+
+    return (
+        bpe_encode_stats(_docs(sf_dir))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_bpe_token_freqs(sf_dir: str):
+    """Realized subword frequency table under the frozen demo merges
+    (ops/bpe_apply.py) — per-batch vocabulary-bounded partials, one
+    token-key groupby; full DuckDB recompute (sql_bpe_token_freqs)."""
+    from ocr_sam_project_ray.ops.bpe_apply import bpe_token_freqs
+
+    return (
+        bpe_token_freqs(_docs(sf_dir), num_partitions=4)
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+
+
 def _q_fix_mojibake(sf_dir: str):
     """ftfy-style mojibake repair (ops/mojibake.py): the 94-digraph
     sequential replace chain, suspect-gated. Decorated like url_canonical:
@@ -1977,6 +2002,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # * events_value_dispersion: per-type median/IQR of cents
         #   (ops/dispersion.py); full DuckDB oracle below.
         "events_value_dispersion": _q_events_value_dispersion,
+        # * bpe_encode_docs / bpe_token_freqs: BPE ENCODE under a frozen
+        #   merge list (ops/bpe_apply.py) — packed single-char symbols
+        #   make the apply a replace chain; full DuckDB oracles below.
+        "bpe_encode_docs": _q_bpe_encode_docs,
+        "bpe_token_freqs": _q_bpe_token_freqs,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -2645,6 +2675,8 @@ def _ops_oracles() -> dict[str, str]:
         "dsir_score": _dsir_oracle(),
         "fix_mojibake": _mojibake_oracle(),
         "bpe_pair_counts": _bpe_pairs_oracle(),
+        "bpe_encode_docs": _bpe_encode_oracle(),
+        "bpe_token_freqs": _bpe_freqs_oracle(),
         "inverted_index": _invindex_oracle(),
         "pmi_topk": _pmi_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
@@ -2781,6 +2813,18 @@ def _bpe_pairs_oracle() -> str:
     from ocr_sam_project_ray.ops.bpe_learn import sql_bpe_pair_counts
 
     return sql_bpe_pair_counts()
+
+
+def _bpe_encode_oracle() -> str:
+    from ocr_sam_project_ray.ops.bpe_apply import sql_bpe_encode_stats
+
+    return sql_bpe_encode_stats()
+
+
+def _bpe_freqs_oracle() -> str:
+    from ocr_sam_project_ray.ops.bpe_apply import sql_bpe_token_freqs
+
+    return sql_bpe_token_freqs()
 
 
 def _mojibake_oracle() -> str:
