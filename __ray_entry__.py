@@ -632,6 +632,29 @@ def _q_knn_ivf(sf_dir: str):
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_embed_quantize_stats(sf_dir: str):
+    """Int8 max-abs quantization audit (ops/quantize.py): exact-integer
+    per-vector saturation/bias/mass columns; full DuckDB recompute of
+    the scale, the rounding, and the sums."""
+    from ocr_sam_project_ray.ops.quantize import quantize_stats
+
+    return (
+        quantize_stats(_embeddings(sf_dir))
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+def _q_knn_quantized(sf_dir: str):
+    """Quantized ANN (ops/quantize.py): int8 store, exact int64 dot
+    scores, deterministic ties — the memory-bound retrieval path; full
+    DuckDB recompute via list_dot_product on the quantized lists."""
+    from ocr_sam_project_ray.ops.quantize import knn_quantized
+
+    qm, qids = _knn_queries(sf_dir)
+    t = knn_quantized(_embeddings(sf_dir), qm, qids, k=10)
+    return t.to_pandas().reset_index(drop=True)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (ops/kmeans.py, Abbas et al. 2023): full-corpus
     distributed k-means (farthest-point seeding, mergeable partial-sum
@@ -2007,6 +2030,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   make the apply a replace chain; full DuckDB oracles below.
         "bpe_encode_docs": _q_bpe_encode_docs,
         "bpe_token_freqs": _q_bpe_token_freqs,
+        # * embed_quantize_stats / knn_quantized: int8 max-abs embedding
+        #   quantization and integer-dot ANN (ops/quantize.py) — exact
+        #   int64 contracts; full DuckDB oracles below.
+        "embed_quantize_stats": _q_embed_quantize_stats,
+        "knn_quantized": _q_knn_quantized,
         # * approx_nchars_quantiles: round-3 mergeable quantile sketch
         #   (ops/qsketch.py); rows-only (approximate), rank-error bound
         #   pytest-certified (test_qsketch).
@@ -2677,6 +2705,8 @@ def _ops_oracles() -> dict[str, str]:
         "bpe_pair_counts": _bpe_pairs_oracle(),
         "bpe_encode_docs": _bpe_encode_oracle(),
         "bpe_token_freqs": _bpe_freqs_oracle(),
+        "embed_quantize_stats": _quantize_stats_oracle(),
+        "knn_quantized": _knn_quantized_oracle(),
         "inverted_index": _invindex_oracle(),
         "pmi_topk": _pmi_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
@@ -2813,6 +2843,18 @@ def _bpe_pairs_oracle() -> str:
     from ocr_sam_project_ray.ops.bpe_learn import sql_bpe_pair_counts
 
     return sql_bpe_pair_counts()
+
+
+def _quantize_stats_oracle() -> str:
+    from ocr_sam_project_ray.ops.quantize import sql_quantize_stats
+
+    return sql_quantize_stats()
+
+
+def _knn_quantized_oracle() -> str:
+    from ocr_sam_project_ray.ops.quantize import sql_knn_quantized
+
+    return sql_knn_quantized()
 
 
 def _bpe_encode_oracle() -> str:

@@ -90,7 +90,10 @@ def knn_cosine(
         kk = min(k, sims.shape[1])
         out_q, out_i, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            part = np.argpartition(-sims[qi], kk - 1)[:kk]
+            # tie-deterministic local cut: same (sim DESC, id ASC) order
+            # as _merge_topk and the SQL row_number — an argpartition
+            # pick is arbitrary among boundary ties (identical vectors)
+            part = np.lexsort((ids, -sims[qi]))[:kk]
             out_q.extend([query_ids[qi]] * len(part))
             out_i.extend(ids[part].tolist())
             out_s.extend(sims[qi][part].tolist())
@@ -219,7 +222,8 @@ def knn_ivf(
                 continue
             sims = q[qi] @ m[mask].T
             kk = min(k, sims.shape[0])
-            part = np.argpartition(-sims, kk - 1)[:kk]
+            # tie-deterministic local cut (see knn_cosine)
+            part = np.lexsort((ids[mask], -sims))[:kk]
             sel_ids = ids[mask][part]
             out_q.extend([query_ids[qi]] * len(part))
             out_i.extend(sel_ids.tolist())

@@ -70,9 +70,11 @@ def weighted_sample(
         prio = _priority(batch[text_col].to_pylist(), w)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(prio) > k:
-            # order-free prune: any row outside the local bottom-k can
-            # never be in the global bottom-k
-            idx = np.argpartition(prio, k - 1)[:k]
+            # prune to the local bottom-k BY THE GLOBAL ORDER (priority,
+            # id): with tied priorities (identical texts + equal weight)
+            # an order-free argpartition could keep a higher-id row and
+            # drop the lower-id one the final sort would have chosen
+            idx = np.lexsort((ids, prio))[:k]
         else:
             idx = np.arange(len(prio))
         return pa.table({

@@ -138,3 +138,13 @@ def test_chunked_upper_pairs_equals_triu_form():
         for chunk in (1, 3, 36, 37, 1024):
             got = chunked_upper_pairs(m, ids, thr, chunk=chunk)
             assert got == exp, (thr, chunk)
+
+
+def test_knn_cosine_tie_break_lowest_ids(emb, ref):
+    # identical vectors tie exactly; the local cut and the merge must
+    # both order (sim DESC, vec_id ASC)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": [1.0, 2.0, 3.0]} for i in range(8)]
+    ).repartition(1)
+    t = knn_cosine(ds, np.array([[1.0, 2.0, 3.0]]), [0], k=4)
+    assert t.to_pandas()["vec_id"].tolist() == [0, 1, 2, 3]

@@ -76,3 +76,19 @@ def test_zero_weight_clamped():
 def test_k_validation():
     with pytest.raises(ValueError):
         weighted_sample(ray.data.from_arrow(_table(5)), 0)
+
+
+def test_tied_priorities_keep_lowest_ids():
+    # identical text + equal weight -> identical priority; the local
+    # prune must cut by (priority, id), not priority alone, or a
+    # higher-id tied row can displace a lower-id one at the k boundary
+    n = 40
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["same text here"] * n, pa.string()),
+        "n_chars": pa.array([14] * n, pa.int64()),
+    })
+    got = weighted_sample(ray.data.from_arrow(t).repartition(1), 5
+                          ).to_pandas()
+    assert got.doc_id.tolist() == [0, 1, 2, 3, 4]
+    assert got.priority.nunique() == 1
