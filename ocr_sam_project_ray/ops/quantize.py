@@ -156,13 +156,26 @@ def knn_quantized(
     scale: float | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    pre_quantized: bool = False,
 ) -> "pa.Table":
     """Top-k by exact int64 dot product over int8-quantized vectors
     (both sides quantized under the one corpus scale). Deterministic
     ties: score DESC, id ASC. Per-batch local top-k against the
     broadcast query matrix, then a query-bounded distributed merge
-    (the ops/embed.knn_cosine shape)."""
+    (the ops/embed.knn_cosine shape).
+
+    ``pre_quantized=True`` is the deployment shape at scale: ``ds`` is
+    the persisted int8 store from quantize_embeddings (``emb_col``
+    holds the int8 lists), so scoring reads 4x fewer bytes and skips
+    the per-batch rounding; ``scale`` (persisted beside the store) is
+    then only used to quantize the incoming queries. Results are
+    identical to quantizing on the fly — pinned by test_quantize."""
     if scale is None:
+        if pre_quantized:
+            raise ValueError(
+                "a pre-quantized store needs its persisted scale to "
+                "quantize the queries consistently"
+            )
         scale = fit_maxabs_scale(ds, emb_col)
     # keep the integer-VALUED matrices in float64: every partial sum of
     # a quantized dot product is ≤ 127²·dim ≪ 2^53, so BLAS float64
@@ -184,7 +197,10 @@ def knn_quantized(
                  "score": pa.array([], pa.int64())}
             )
         qm = ray.get(q_ref)
-        tm = _quantize_matrix(_batch_matrix(batch, emb_col), scale)
+        if pre_quantized:
+            tm = _batch_matrix(batch, emb_col)  # int8 lists -> float64
+        else:
+            tm = _quantize_matrix(_batch_matrix(batch, emb_col), scale)
         # exact: integer-valued float64 operands, sums < 2^53
         scores = (qm @ tm.T).astype(np.int64)  # (Q, B)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)

@@ -107,3 +107,19 @@ def test_sql_parity_on_corpus(ray_session):
     got = t.to_pandas().reset_index(drop=True)
     o_knn = con.execute(sql_knn_quantized()).fetchdf()
     assert got.equals(o_knn)
+
+
+def test_pre_quantized_store_identical(ray_session):
+    rng = np.random.default_rng(23)
+    rows = rng.normal(size=(80, 6))
+    ds = _tiny(rows)
+    scale = float(np.abs(rows).max())
+    store = quantize_embeddings(ds, scale=scale)
+    fly = knn_quantized(ds, rows[:4], [0, 1, 2, 3], k=6, scale=scale)
+    stored = knn_quantized(
+        store, rows[:4], [0, 1, 2, 3], k=6, scale=scale,
+        emb_col="qemb", pre_quantized=True)
+    assert fly.to_pandas().equals(stored.to_pandas())
+    with pytest.raises(ValueError, match="persisted scale"):
+        knn_quantized(store, rows[:4], [0, 1, 2, 3],
+                      emb_col="qemb", pre_quantized=True)

@@ -188,7 +188,7 @@ def ensure_sf1_pages(n_pages: int) -> str:
 
 
 ALL_OPS = ("exact", "near", "line", "semdedup", "pagerank", "bm25",
-           "extraction")
+           "extraction", "bpe", "quantknn")
 
 
 def main() -> int:
@@ -213,7 +213,8 @@ def main() -> int:
     n_docs = int(argv[0]) if argv else N_DOCS_DEFAULT
     # the 500k-doc corpus is only consumed by the docs() ops — don't pay
     # its build for a pagerank/extraction-only run on a fresh /tmp
-    docs_ops = {"exact", "near", "line", "semdedup", "bm25"}
+    docs_ops = {"exact", "near", "line", "semdedup", "bm25", "bpe",
+                "quantknn"}
     path = ensure_sf1(n_docs) if docs_ops & set(only) else None
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -313,6 +314,56 @@ def main() -> int:
             k=10,
         )
         results["bm25_topk_s"] = round(time.time() - t0, 2)
+
+    if "bpe" in only:
+        t0 = time.time()
+        from ocr_sam_project_ray.ops.bpe_apply import (
+            bpe_encode_stats, bpe_token_freqs,
+        )
+
+        results["bpe_encode_rows"] = bpe_encode_stats(docs()).count()
+        results["bpe_encode_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        results["bpe_token_freq_rows"] = bpe_token_freqs(
+            docs(), num_partitions=nparts).count()
+        results["bpe_token_freqs_s"] = round(time.time() - t0, 2)
+
+    if "quantknn" in only:
+        from ocr_sam_project_ray.ops.embed import knn_cosine
+        from ocr_sam_project_ray.ops.quantize import (
+            fit_maxabs_scale, knn_quantized,
+        )
+        from ocr_sam_project_ray.stages.embedder import embed_documents
+
+        # generate a 500k x 64 embedding set once (untimed; the op
+        # under test is the quantize + integer-score path, not the
+        # embedder)
+        emb = embed_documents(
+            docs(), concurrency=(1, max(4, ncpu // 2)), batch_size=2048
+        ).materialize()
+        qdf = emb.limit(20).to_pandas()
+        qm = np.asarray(list(qdf["embedding"]), dtype=np.float64)
+        qids = list(qdf["doc_id"])
+        t0 = time.time()
+        scale = fit_maxabs_scale(emb)
+        knn_quantized(emb, qm, qids, k=10, scale=scale,
+                      id_col="doc_id")
+        results["knn_quantized_s"] = round(time.time() - t0, 2)
+        # deployment shape: build the int8 store once, score from it
+        from ocr_sam_project_ray.ops.quantize import quantize_embeddings
+
+        t0 = time.time()
+        store = quantize_embeddings(emb, scale, id_col="doc_id"
+                                    ).materialize()
+        results["quantize_build_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        knn_quantized(store, qm, qids, k=10, scale=scale,
+                      id_col="doc_id", emb_col="qemb",
+                      pre_quantized=True)
+        results["knn_quantized_store_s"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        knn_cosine(emb, qm, qids, k=10, id_col="doc_id")
+        results["knn_cosine_s"] = round(time.time() - t0, 2)
 
     if "extraction" in only:
         import shutil
