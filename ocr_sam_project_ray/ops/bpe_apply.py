@@ -84,6 +84,16 @@ def build_replace_table(
       match any sequence — it is dropped from the table, exactly as it
       would never fire in the list-of-strings form.
     """
+    # the BMP private-use area is 6400 codepoints (U+E000–U+F8FF);
+    # past it chr(PUA_BASE+k) would collide with REAL characters (CJK
+    # compatibility ideographs) and the input guard would start
+    # rejecting legitimate text — refuse loudly (a >6400-merge frozen
+    # tokenizer needs an int-array symbol representation, not chars)
+    if len(merges) > 6400:
+        raise ValueError(
+            f"{len(merges)} merges exceed the 6400-codepoint private-"
+            "use area the packed representation draws from"
+        )
     sym: dict[str, str] = {}   # symbol string -> packed char
     decode: dict[str, str] = {}
     table: list[tuple[str, str]] = []

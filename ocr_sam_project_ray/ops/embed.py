@@ -69,6 +69,22 @@ def chunked_upper_pairs(
     return out_a, out_b, out_s
 
 
+def topk_tied_idx(scores: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top ``kk`` rows by (score DESC, id ASC) — the
+    tie-DETERMINISTIC local cut every knn partial must use (an
+    argpartition pick is arbitrary among boundary ties, so a tied
+    candidate the merge/oracle keeps could be dropped). O(B) partition
+    to find the kth score, then a lexsort over only the ~kk candidates
+    at-or-above it (a full-batch lexsort per query was ~12x the
+    comparison work on the benchmarked paths)."""
+    if len(scores) <= kk:
+        return np.lexsort((ids, -scores))
+    kth = -np.partition(-scores, kk - 1)[kk - 1]
+    cand = np.nonzero(scores >= kth)[0]
+    order = np.lexsort((ids[cand], -scores[cand]))[:kk]
+    return cand[order]
+
+
 def knn_cosine(
     ds: Dataset,
     queries: np.ndarray,
@@ -90,10 +106,7 @@ def knn_cosine(
         kk = min(k, sims.shape[1])
         out_q, out_i, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            # tie-deterministic local cut: same (sim DESC, id ASC) order
-            # as _merge_topk and the SQL row_number — an argpartition
-            # pick is arbitrary among boundary ties (identical vectors)
-            part = np.lexsort((ids, -sims[qi]))[:kk]
+            part = topk_tied_idx(sims[qi], ids, kk)
             out_q.extend([query_ids[qi]] * len(part))
             out_i.extend(ids[part].tolist())
             out_s.extend(sims[qi][part].tolist())
@@ -109,22 +122,30 @@ def knn_cosine(
     return _merge_topk(partials, k)
 
 
-def _merge_topk(partials, k: int) -> "pa.Table":
+def _merge_topk(
+    partials, k: int, score_col: str = "sim", round6: bool = True
+) -> "pa.Table":
     """Distributed final top-k merge: the per-batch candidates (k ×
     n_batches rows per query) are grouped by query and reduced per group —
     the merge scales with query count, never with corpus size; only the
-    k-per-query result lands on the driver."""
+    k-per-query result lands on the driver. One home for the
+    (score DESC, id ASC) tie contract that topk_tied_idx's local cuts
+    must match (ops/quantize reuses it with score_col='score',
+    round6=False — integer scores round-trip exactly)."""
 
     def final(g):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g["sim"] = g["sim"].round(6)
+        g = g.sort_values([score_col, "vec_id"],
+                          ascending=[False, True]).head(k)
+        if round6:
+            g[score_col] = g[score_col].round(6)
         return g
 
     merged = (
         partials.groupby("qid", num_partitions=2)
         .map_groups(final, batch_format="pandas")
         .to_pandas()
-        .sort_values(["qid", "sim", "vec_id"], ascending=[True, False, True])
+        .sort_values(["qid", score_col, "vec_id"],
+                     ascending=[True, False, True])
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(merged, preserve_index=False)
@@ -222,8 +243,7 @@ def knn_ivf(
                 continue
             sims = q[qi] @ m[mask].T
             kk = min(k, sims.shape[0])
-            # tie-deterministic local cut (see knn_cosine)
-            part = np.lexsort((ids[mask], -sims))[:kk]
+            part = topk_tied_idx(sims, ids[mask], kk)
             sel_ids = ids[mask][part]
             out_q.extend([query_ids[qi]] * len(part))
             out_i.extend(sel_ids.tolist())

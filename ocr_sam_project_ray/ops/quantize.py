@@ -34,16 +34,24 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from .embed import _batch_matrix
+from .embed import _batch_matrix, _merge_topk, topk_tied_idx
 
 Q_LEVELS = 127.0
 
 
 def np_round_half_away(x: np.ndarray) -> np.ndarray:
-    """Half away from zero on both signs (DuckDB round()); float64 in,
-    float64 integer-valued out (cf. ops/relational.np_cents)."""
+    """Half away from zero on both signs — EXACT C round()/DuckDB
+    round() semantics. The classic floor(x+0.5) trick is wrong at
+    x = nextafter(0.5, 0): x+0.5 rounds UP to exactly 1.0 in float64
+    before the floor (review-confirmed DuckDB divergence). Here
+    np.rint handles every non-half value exactly (ties can only occur
+    at representable .5 fractions) and the half mask sends exact
+    halves away from zero."""
     x = np.asarray(x, dtype=np.float64)
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    frac = x - np.trunc(x)
+    return np.where(
+        np.abs(frac) == 0.5, np.trunc(x) + np.sign(x), np.rint(x)
+    )
 
 
 def fit_maxabs_scale(ds: Dataset, emb_col: str = "embedding") -> float:
@@ -95,7 +103,19 @@ def quantize_embeddings(
                  "qemb": pa.array([], pa.list_(pa.int8()))}
             )
         m = _batch_matrix(batch, emb_col)
-        qm = _quantize_matrix(m, scale).astype(np.int8)
+        qf = _quantize_matrix(m, scale)
+        # |q| ≤ 127 only holds when ``scale`` covers the data; a stale
+        # persisted scale + a new out-of-range vector would WRAP in the
+        # int8 cast (2.0 under scale 1.0 -> 254 -> -2) and silently
+        # corrupt the store — refuse loudly instead
+        if qf.size and np.abs(qf).max() > 127:
+            raise ValueError(
+                f"embedding magnitude exceeds the quantization scale "
+                f"{scale!r} (max |q| = {np.abs(qf).max():.0f} > 127): "
+                "refit the scale over the full corpus before building "
+                "the store"
+            )
+        qm = qf.astype(np.int8)
         dim = qm.shape[1]
         offsets = pa.array(
             np.arange(0, (n + 1) * dim, dim, dtype=np.int32), pa.int32()
@@ -207,11 +227,10 @@ def knn_quantized(
         kk = min(k, scores.shape[1])
         out_q, out_i, out_s = [], [], []
         for qi in range(scores.shape[0]):
-            # integer scores TIE often — the local cut must use the
-            # same (score DESC, id ASC) order as the final merge and
-            # the SQL row_number, or a tied candidate the oracle keeps
-            # gets dropped here (argpartition picks arbitrarily)
-            part = np.lexsort((ids, -scores[qi]))[:kk]
+            # integer scores TIE often — tie-deterministic local cut
+            # (embed.topk_tied_idx: score DESC, id ASC, matching the
+            # merge and the SQL row_number)
+            part = topk_tied_idx(scores[qi], ids, kk)
             out_q.extend([query_ids[qi]] * len(part))
             out_i.extend(ids[part].tolist())
             out_s.extend(scores[qi][part].tolist())
@@ -226,21 +245,7 @@ def knn_quantized(
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         local_topk, batch_format="pyarrow", batch_size=4096
     )
-
-    def final(g):
-        return g.sort_values(
-            ["score", "vec_id"], ascending=[False, True]
-        ).head(k)
-
-    merged = (
-        partials.groupby("qid", num_partitions=2)
-        .map_groups(final, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["qid", "score", "vec_id"],
-                     ascending=[True, False, True])
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(merged, preserve_index=False)
+    return _merge_topk(partials, k, score_col="score", round6=False)
 
 
 # ---------------------------------------------------------------- SQL

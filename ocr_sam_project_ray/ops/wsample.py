@@ -73,8 +73,12 @@ def weighted_sample(
             # prune to the local bottom-k BY THE GLOBAL ORDER (priority,
             # id): with tied priorities (identical texts + equal weight)
             # an order-free argpartition could keep a higher-id row and
-            # drop the lower-id one the final sort would have chosen
-            idx = np.lexsort((ids, prio))[:k]
+            # drop the lower-id one the final sort would have chosen.
+            # O(B) partition for the kth priority, lexsort only the
+            # ~k candidates at-or-below it (cf. embed.topk_tied_idx)
+            kth = np.partition(prio, k - 1)[k - 1]
+            cand = np.nonzero(prio <= kth)[0]
+            idx = cand[np.lexsort((ids[cand], prio[cand]))[:k]]
         else:
             idx = np.arange(len(prio))
         return pa.table({

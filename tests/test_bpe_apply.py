@@ -151,3 +151,9 @@ def test_sql_chain_depth_guard():
         sql_replace_chain("w", [("a", "b")] * 41)
     # dropped unreachable merges don't count toward the depth
     assert "replace" in sql_replace_chain("w", deep)
+
+
+def test_pua_capacity_guard():
+    merges = [("a", "b")] * 6401
+    with pytest.raises(ValueError, match="6400"):
+        build_replace_table(merges)

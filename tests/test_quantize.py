@@ -22,8 +22,13 @@ def _tiny(rows):
 
 
 def test_round_half_away_matches_duckdb():
+    # includes the floor(x+0.5) killer: nextafter(0.5, 0), where the
+    # +0.5 rounds UP to exactly 1.0 before the floor but C/DuckDB
+    # round() correctly gives 0
+    adversarial = float(np.nextafter(0.5, 0))
     vals = [0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 0.49, -0.49, 126.5, -126.5,
-            0.0, 3.0, -3.0]
+            0.0, 3.0, -3.0, adversarial, -adversarial,
+            2.0 + adversarial, -(2.0 + adversarial)]
     got = np_round_half_away(np.array(vals)).tolist()
     con = duckdb.connect()
     for v, g in zip(vals, got):
@@ -123,3 +128,24 @@ def test_pre_quantized_store_identical(ray_session):
     with pytest.raises(ValueError, match="persisted scale"):
         knn_quantized(store, rows[:4], [0, 1, 2, 3],
                       emb_col="qemb", pre_quantized=True)
+
+
+def test_quantize_store_refuses_out_of_range(ray_session):
+    # stale persisted scale + new larger vector: the int8 cast would
+    # WRAP (2.0 under scale 1.0 -> 254 -> -2); must refuse loudly
+    ds = _tiny([[2.0, 0.5]])
+    with pytest.raises(Exception, match="exceeds the quantization scale"):
+        quantize_embeddings(ds, scale=1.0).take_all()
+
+
+def test_topk_tied_idx_matches_full_lexsort():
+    from ocr_sam_project_ray.ops.embed import topk_tied_idx
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        n = int(rng.integers(1, 50))
+        scores = rng.integers(0, 5, size=n).astype(np.float64)
+        ids = rng.permutation(n).astype(np.int64)
+        kk = int(rng.integers(1, n + 1))
+        got = topk_tied_idx(scores, ids, kk)
+        ref = np.lexsort((ids, -scores))[:kk]
+        assert got.tolist() == ref.tolist()
