@@ -93,6 +93,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from .embed import topk_tied_idx
 from .textstats import tokenize
 
 _PARITY_BOUND = 2 ** 53
@@ -467,8 +468,10 @@ def bm25_topk(
             if h.size == 0:
                 continue
             s = scores[h, qid]
-            # local top-k by (score DESC, doc_id ASC): lexsort is stable
-            order = np.lexsort((ids[h], -s))[:k]
+            # tie-deterministic local top-k by (score DESC, doc_id ASC)
+            # without sorting every matching doc (embed.topk_tied_idx:
+            # O(B) partition + lexsort of the ~k boundary candidates)
+            order = topk_tied_idx(s, ids[h], min(k, h.size))
             sel = h[order]
             out_q.append(np.full(sel.size, qid, dtype=np.int64))
             out_d.append(ids[sel].astype(np.int64))

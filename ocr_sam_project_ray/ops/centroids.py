@@ -29,11 +29,13 @@ PPM = 1_000_000
 
 
 def _quantize_ppm(m: np.ndarray) -> np.ndarray:
-    """round(v*1e6) half-away-from-zero (DuckDB round()) as int64."""
-    scaled = m.astype(np.float64) * PPM
-    return np.where(
-        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
-    ).astype(np.int64)
+    """round(v*1e6) half-away-from-zero (DuckDB round()) as int64 —
+    via the EXACT kernel (ops/quantize.np_round_half_away): the old
+    floor(x+0.5) trick rounds UP at x = nextafter(n+0.5, 0) where
+    round() gives n, a live oracle divergence class."""
+    from .quantize import np_round_half_away
+
+    return np_round_half_away(m.astype(np.float64) * PPM).astype(np.int64)
 
 
 def label_centroids(

@@ -45,12 +45,16 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
 
 def np_cents(values) -> "np.ndarray":
     """numpy twin of _cents for pandas map_groups kernels: double dollars
-    → int64 cents, half away from zero on BOTH signs (DuckDB round())."""
+    → int64 cents, half away from zero on BOTH signs — EXACT DuckDB
+    round() / pc.round(half_towards_infinity) semantics via the shared
+    kernel (the old floor(x+0.5) trick rounded UP at
+    scaled = nextafter(n+0.5, 0), diverging from both twins)."""
     import numpy as np
 
-    scaled = np.asarray(values, dtype=np.float64) * 100.0
-    return np.where(
-        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    from .quantize import np_round_half_away
+
+    return np_round_half_away(
+        np.asarray(values, dtype=np.float64) * 100.0
     ).astype("int64")
 
 

@@ -40,6 +40,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
+from .embed import topk_tied_idx
+
 _HEX_CHARS = 15  # 60 bits: BIGINT-safe in DuckDB and int64-safe in numpy
 
 
@@ -74,11 +76,9 @@ def weighted_sample(
             # id): with tied priorities (identical texts + equal weight)
             # an order-free argpartition could keep a higher-id row and
             # drop the lower-id one the final sort would have chosen.
-            # O(B) partition for the kth priority, lexsort only the
-            # ~k candidates at-or-below it (cf. embed.topk_tied_idx)
-            kth = np.partition(prio, k - 1)[k - 1]
-            cand = np.nonzero(prio <= kth)[0]
-            idx = cand[np.lexsort((ids[cand], prio[cand]))[:k]]
+            # bottom-k == top-k of the negated priorities (non-negative
+            # int64, so negation can't overflow)
+            idx = topk_tied_idx(-prio, ids, k)
         else:
             idx = np.arange(len(prio))
         return pa.table({

@@ -149,3 +149,32 @@ def test_topk_tied_idx_matches_full_lexsort():
         got = topk_tied_idx(scores, ids, kk)
         ref = np.lexsort((ids, -scores))[:kk]
         assert got.tolist() == ref.tolist()
+
+
+def test_round_half_away_fuzz_vs_duckdb():
+    # the shared exact kernel now backs quantize, np_cents, and
+    # _quantize_ppm — fuzz it against DuckDB round() including the
+    # adversarial near-half grid the floor(x+0.5) trick fails on
+    rng = np.random.default_rng(99)
+    vals = list(rng.normal(scale=50.0, size=300))
+    vals += [float(np.nextafter(n + 0.5, n)) for n in range(-5, 6)]
+    vals += [float(np.nextafter(n + 0.5, n + 1)) for n in range(-5, 6)]
+    got = np_round_half_away(np.array(vals))
+    con = duckdb.connect()
+    con.register("v", pa.table({"x": pa.array(vals, pa.float64())}))
+    exp = [r[0] for r in
+           con.execute("SELECT round(x) FROM v").fetchall()]
+    assert got.tolist() == exp
+
+
+def test_np_cents_matches_duckdb_on_adversarial_values():
+    from ocr_sam_project_ray.ops.relational import np_cents
+    vals = [0.004999999999999999, -0.004999999999999999, 1.005, -1.005,
+            0.005, 2.675, -2.675]
+    got = np_cents(vals).tolist()
+    con = duckdb.connect()
+    for v, g in zip(vals, got):
+        exp = con.execute(
+            f"SELECT CAST(round(CAST({v!r} AS DOUBLE) * 100.0) AS BIGINT)"
+        ).fetchone()[0]
+        assert g == exp, v
