@@ -246,16 +246,35 @@ def extract_spans(text: str) -> list[dict[str, Any]]:
     return spans
 
 
-def extract_basic_info(text: str) -> dict[str, Optional[str]]:
+# Necessary-literal guards for BASIC_AUTORIDAD (juzgado / tribunal /
+# ministerio), aligned 1:1. Same soundness rule as
+# patterns._TABLE_INDICATOR_GUARDS: contiguous case-fold-clean sub-literals
+# of any possible match, checked on the lowercased text ('bunal' / 'ter'
+# avoid 'i' and 's', whose fold classes also contain 'ı' U+0131 / 'ſ' U+017F).
+_AUTORIDAD_GUARDS: tuple[str, ...] = ("juzgado", "bunal", "ter")
+assert len(_AUTORIDAD_GUARDS) == len(P.BASIC_AUTORIDAD)
+
+
+def extract_basic_info(text: str, low: str = None) -> dict[str, Optional[str]]:
     """Fallback info extraction (ocr_processor/app.py:547-582):
-    first oficio-number match, first authority match, first numeric date."""
+    first oficio-number match, first authority match, first numeric date.
+
+    ``low`` (``text.lower()``) gates the three authority regexes behind
+    cheap substring probes — docs without any authority keyword skip three
+    full-document IGNORECASE scans. Output is byte-identical either way
+    (guards are necessary conditions; equality pinned in test_patterns).
+    """
+    if low is None:
+        low = text.lower()
     info: dict[str, Optional[str]] = {
         "numero_oficio": None, "autoridad": None, "fecha_emision": None,
     }
     m = P.BASIC_OFICIO.search(text)
     if m:
         info["numero_oficio"] = m.group(1)
-    for pat in P.BASIC_AUTORIDAD:
+    for guard, pat in zip(_AUTORIDAD_GUARDS, P.BASIC_AUTORIDAD):
+        if guard not in low:
+            continue
         m = pat.search(text)
         if m:
             info["autoridad"] = m.group(1)
@@ -401,7 +420,7 @@ def annotate_segment(text: str) -> dict[str, Any]:
     """Full annotation of one segment's extracted text → flat dict of the
     output columns (schema assembled by the stage wrapper)."""
     low = text.lower()
-    info = extract_basic_info(text)
+    info = extract_basic_info(text, low=low)
     fecha = extract_fecha(text)
     entities = extract_entities(text)
     type_id, label, tramite, departamento = classify_text(text, low=low)

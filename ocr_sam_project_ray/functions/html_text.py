@@ -191,13 +191,17 @@ def _fast_parse(html: str) -> list[Paragraph]:
     in_row = False
     row_has_cell = False
     unescape = _html_mod.unescape
-    ws_sub = _WS.sub
 
     def flush() -> None:
         nonlocal parts, link_parts
-        text = ws_sub(" ", "".join(parts)).strip()
-        joined_link = "".join(link_parts)  # usually empty — skip the sub
-        link_text = ws_sub(" ", joined_link).strip() if joined_link else ""
+        # " ".join(s.split()) == _WS.sub(" ", s).strip() for every string:
+        # str.split() and \s use the same Py_UNICODE_ISSPACE set (verified by
+        # enumerating the codepoint space), and the C-level split is ~4×
+        # faster than the regex sub. _BlockParser._flush keeps the sub form;
+        # the stdlib-parity test pins the two equal over every corpus page.
+        text = " ".join("".join(parts).split())
+        joined_link = "".join(link_parts)  # usually empty — skip the split
+        link_text = " ".join(joined_link.split()) if joined_link else ""
         parts = []
         link_parts = []
         if text:

@@ -59,6 +59,34 @@ TABLE_INDICATORS: list[re.Pattern] = [
     re.compile(p, re.IGNORECASE) for p in _TABLE_INDICATOR_SRC
 ]
 
+# Necessary-literal guards for each indicator, aligned 1:1 with
+# _TABLE_INDICATOR_SRC. Each guard tuple lists contiguous literals such that
+# the pattern CANNOT match a ``.lower()``-ed string unless one of them is a
+# substring — so a failed guard skips the full-document regex scan (measured
+# ~90 µs/scan on 10 KB docs; indicator-free docs paid all ten). Guard letters
+# are restricted to case-fold-clean characters (their only re.IGNORECASE
+# matches are their own upper/lower pair — verified by enumerating the whole
+# codepoint space); 'i' and 's' never appear in guards because U+0131 'ı' and
+# U+017F 'ſ' also fold to them, hence 'tado' for listado, and the explicit
+# 'ı' variants for c.i.p. An empty tuple means "always scan".
+_TABLE_INDICATOR_GUARDS: list[tuple[str, ...]] = [
+    ("agente",),                                   # agente\s+económico
+    ("empleador",),                                # empleador
+    ("exp",),                                      # n[°º]\s*exp
+    ("ruc", "r.uc", "ru.c", "r.u.c"),              # r\.?u\.?c\.? (exact set)
+    ("cip", "c.ip", "ci.p", "c.i.p",
+     "cıp", "c.ıp", "cı.p", "c.ı.p"),              # c\.?i\.?p\.? (exact set)
+    ("monto",),                                    # monto\s+b/
+    ("nombre",),                                   # \|\s*nombre
+    ("tabla",),                                    # tabla.*persona
+    ("tado",),                                     # listado.*cliente
+    (),                                            # cedula+monto digit line
+]
+assert len(_TABLE_INDICATOR_GUARDS) == len(TABLE_INDICATORS)
+_TABLE_INDICATORS_GUARDED: list[tuple[tuple[str, ...], re.Pattern]] = list(
+    zip(_TABLE_INDICATOR_GUARDS, TABLE_INDICATORS)
+)
+
 # --- First-page / config-block metadata (metadata_service.py:56-87) --------
 # Matched against lowercased text with line structure preserved (see module
 # docstring for the divergence note).
@@ -151,10 +179,27 @@ def has_config_block(text: str) -> bool:
 def should_have_persons(text: str, low: str = None) -> bool:
     """True iff any table indicator matches (post_ocr_validator.py:77-96).
 
-    Kept as a short-circuiting per-pattern loop: measured 2.4× faster than
-    one combined alternation (each compiled pattern gets CPython's
-    literal-prefix fast skip, and matching docs exit on the first hit).
+    Short-circuiting per-pattern loop (measured 2.4× faster than one combined
+    alternation) with necessary-literal guards in front of each regex: a doc
+    failing a guard cannot match that pattern, so indicator-free docs pay ten
+    C-level substring probes plus ONE unguardable digit-line scan instead of
+    ten full-document regex scans (measured 0.78 s → 0.15 s per 1.6k docs).
+    Result is identical to :func:`should_have_persons_reference` — equality
+    is pinned in tests over the corpus plus fold-adversarial strings.
     """
+    if low is None:
+        low = text.lower()
+    for guards, pat in _TABLE_INDICATORS_GUARDED:
+        if guards and not any(g in low for g in guards):
+            continue
+        if pat.search(low):
+            return True
+    return False
+
+
+def should_have_persons_reference(text: str, low: str = None) -> bool:
+    """Unguarded reference form of :func:`should_have_persons` (kept for the
+    equality tests; change the two together)."""
     if low is None:
         low = text.lower()
     return any(p.search(low) for p in TABLE_INDICATORS)

@@ -139,3 +139,98 @@ def test_extract_spans_windowed_equals_direct_corpus():
     ]
     for t in texts + edge:
         assert extract_spans(t) == _extract_spans_direct(t)
+
+
+def test_should_have_persons_guarded_equals_reference():
+    """The necessary-literal guards must never change the boolean: equality
+    vs the unguarded reference over corpus segment texts plus
+    fold-adversarial strings (dotless 'ı' U+0131 and long-s 'ſ' U+017F fold
+    to i/s under re.IGNORECASE, which is why guards avoid those letters)."""
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    p = ensure_corpus("/root/testdata/sf0.001")
+    texts = []
+    for f in sorted(_glob.glob(p["golden_segments"]))[:2]:
+        texts.extend(
+            x for x in pq.read_table(f, columns=["extracted_text"])[
+                "extracted_text"
+            ].to_pylist() if x
+        )
+    assert len(texts) > 100
+    adversarial = [
+        "",
+        "texto sin indicadores",
+        "AGENTE  ECONÓMICO listado",          # ws run + case
+        "agente\teconómico",
+        "lıſtado de clıentes aqui",           # fold-exotic listado…cliente
+        "liſtado ... cliente",                # long-s only
+        "LISTADO X CLIENTE",
+        "R.U.C. 123",
+        "r.u.c",
+        "ru.c escondido",
+        "C.I.P. 9",
+        "cıp oculto",                          # dotless-i cip
+        "mınıterıo",                           # junk that must stay False
+        "tabla---persona",
+        "N° Exp 55",
+        "nº  exp",
+        "monto  b/ 1.00",
+        "| nombre |",
+        "8-123-456 con 1,500.00",
+        "8-123-456 sin decimales",
+        "trıbunal superıor",                   # guards must not matter here
+    ]
+    for t in texts + adversarial:
+        assert P.should_have_persons(t) == P.should_have_persons_reference(t), t
+
+
+def test_extract_basic_info_guarded_equals_reference():
+    """Authority-regex guards are necessary conditions — the guarded
+    extractor must return the exact dict the plain first-match loop does."""
+    from ocr_sam_project_ray.functions.extract_core import extract_basic_info
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    def reference(text):
+        info = {"numero_oficio": None, "autoridad": None, "fecha_emision": None}
+        m = P.BASIC_OFICIO.search(text)
+        if m:
+            info["numero_oficio"] = m.group(1)
+        for pat in P.BASIC_AUTORIDAD:
+            m = pat.search(text)
+            if m:
+                info["autoridad"] = m.group(1)
+                break
+        m = P.BASIC_DATE.search(text)
+        if m:
+            info["fecha_emision"] = m.group(1)
+        return info
+
+    p = ensure_corpus("/root/testdata/sf0.001")
+    texts = []
+    for f in sorted(_glob.glob(p["golden_segments"]))[:2]:
+        texts.extend(
+            x for x in pq.read_table(f, columns=["extracted_text"])[
+                "extracted_text"
+            ].to_pylist() if x
+        )
+    assert len(texts) > 100
+    adversarial = [
+        "",
+        "JUZGADO primero de lo civil. Oficio: 12-2024 del 01/02/2024",
+        "TRIBUNAL superior",
+        "trıbunal de cuentas",                 # dotless-i: regex matches, guard 'bunal' holds
+        "Ministerio público. fecha 3-4-2024",
+        "mınısterıo publico",                  # 'ter' guard still present → regex decides
+        "sin autoridad aqui 9/9/2024",
+        "juzgado",                             # keyword with no trailing text
+    ]
+    for t in texts + adversarial:
+        assert extract_basic_info(t) == reference(t), t
