@@ -107,8 +107,23 @@ def split_segments(text: str) -> list[str]:
     """
     if not text:
         return []
+    # One whole-document lower() + four C-level probes reject separator-free
+    # docs without a per-line scan; when a probe hits, the lowered lines are
+    # reused so no line pays a second lower(). lower() never introduces a
+    # newline, so ``low.split`` aligns 1:1 with ``text.split`` (the only
+    # cross-line lower() context rule, Greek final-sigma, maps within the
+    # σ/ς pair — disjoint from every probe, so per-doc and per-line lowering
+    # probe identically).
+    low = text.lower()
+    if not any(p in low for p in P.SEPARATOR_PROBES):
+        return [text]
     lines = text.split("\n")
-    sep_idx = [i for i, ln in enumerate(lines) if P.is_separator_line(ln)]
+    low_lines = low.split("\n")
+    sep_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if P.is_separator_line(ln, low_lines[i])
+    ]
     if not sep_idx:
         return [text]
     segments: list[str] = []
@@ -247,11 +262,21 @@ def extract_spans(text: str) -> list[dict[str, Any]]:
 
 
 # Necessary-literal guards for BASIC_AUTORIDAD (juzgado / tribunal /
-# ministerio), aligned 1:1. Same soundness rule as
-# patterns._TABLE_INDICATOR_GUARDS: contiguous case-fold-clean sub-literals
-# of any possible match, checked on the lowercased text ('bunal' / 'ter'
-# avoid 'i' and 's', whose fold classes also contain 'ı' U+0131 / 'ſ' U+017F).
-_AUTORIDAD_GUARDS: tuple[str, ...] = ("juzgado", "bunal", "ter")
+# ministerio), aligned 1:1 — each entry is a disjunction: the regex cannot
+# match ``text`` unless at least one member is a substring of
+# ``text.lower()``. Soundness differs from patterns._TABLE_INDICATOR_GUARDS
+# in one way: these regexes search the ORIGINAL text, so a guard literal
+# containing a fold-dirty letter must enumerate the ``lower()`` images of
+# every codepoint re.IGNORECASE accepts there. For the 'i' in 'terio' that
+# class is {I, i, İ U+0130, ı U+0131} (enumerated over the full codepoint
+# space), whose lower() images are 'i', 'i', 'i̇' (i + combining dot
+# above), 'ı' — hence the three variants. 'juzgado'/'bunal' use only
+# single-class letters.
+_AUTORIDAD_GUARDS: tuple[tuple[str, ...], ...] = (
+    ("juzgado",),
+    ("bunal",),
+    ("terio", "terıo", "teri̇o"),
+)
 assert len(_AUTORIDAD_GUARDS) == len(P.BASIC_AUTORIDAD)
 
 
@@ -272,8 +297,8 @@ def extract_basic_info(text: str, low: str = None) -> dict[str, Optional[str]]:
     m = P.BASIC_OFICIO.search(text)
     if m:
         info["numero_oficio"] = m.group(1)
-    for guard, pat in zip(_AUTORIDAD_GUARDS, P.BASIC_AUTORIDAD):
-        if guard not in low:
+    for guards, pat in zip(_AUTORIDAD_GUARDS, P.BASIC_AUTORIDAD):
+        if not any(g in low for g in guards):
             continue
         m = pat.search(text)
         if m:

@@ -60,32 +60,34 @@ TABLE_INDICATORS: list[re.Pattern] = [
 ]
 
 # Necessary-literal guards for each indicator, aligned 1:1 with
-# _TABLE_INDICATOR_SRC. Each guard tuple lists contiguous literals such that
-# the pattern CANNOT match a ``.lower()``-ed string unless one of them is a
-# substring — so a failed guard skips the full-document regex scan (measured
-# ~90 µs/scan on 10 KB docs; indicator-free docs paid all ten). Guard letters
-# are restricted to case-fold-clean characters (their only re.IGNORECASE
-# matches are their own upper/lower pair — verified by enumerating the whole
-# codepoint space); 'i' and 's' never appear in guards because U+0131 'ı' and
-# U+017F 'ſ' also fold to them, hence 'tado' for listado, and the explicit
-# 'ı' variants for c.i.p. An empty tuple means "always scan".
-_TABLE_INDICATOR_GUARDS: list[tuple[str, ...]] = [
-    ("agente",),                                   # agente\s+económico
-    ("empleador",),                                # empleador
-    ("exp",),                                      # n[°º]\s*exp
-    ("ruc", "r.uc", "ru.c", "r.u.c"),              # r\.?u\.?c\.? (exact set)
-    ("cip", "c.ip", "ci.p", "c.i.p",
-     "cıp", "c.ıp", "cı.p", "c.ı.p"),              # c\.?i\.?p\.? (exact set)
-    ("monto",),                                    # monto\s+b/
-    ("nombre",),                                   # \|\s*nombre
-    ("tabla",),                                    # tabla.*persona
-    ("tado",),                                     # listado.*cliente
+# _TABLE_INDICATOR_SRC. Each guard is a CONJUNCTION of disjunction groups:
+# the pattern CANNOT match a ``.lower()``-ed string unless every group has at
+# least one member substring present — so a failed group skips the
+# full-document regex scan (measured ~90 µs/scan on 10 KB docs;
+# indicator-free docs paid all ten). Guard letters are restricted to
+# case-fold-clean characters (their only re.IGNORECASE matches are their own
+# upper/lower pair — verified by enumerating the whole codepoint space; '°'
+# and 'º' have no case pair at all); 'i' and 's' never appear in guards
+# because U+0131 'ı' and U+017F 'ſ' also fold to them, hence 'tado' for
+# listado and the explicit 'ı' variants for c.i.p. An empty conjunction means
+# "always scan".
+_TABLE_INDICATOR_GUARDS: list[tuple[tuple[str, ...], ...]] = [
+    (("agente",),),                                # agente\s+económico
+    (("empleador",),),                             # empleador
+    (("n°", "nº"), ("exp",)),                      # n[°º]\s*exp — n adjacent
+    (("ruc", "r.uc", "ru.c", "r.u.c"),),           # r\.?u\.?c\.? (exact set)
+    (("cip", "c.ip", "ci.p", "c.i.p",
+      "cıp", "c.ıp", "cı.p", "c.ı.p"),),           # c\.?i\.?p\.? (exact set)
+    (("monto",), ("b/",)),                         # monto\s+b/
+    (("|",), ("nombre",)),                         # \|\s*nombre
+    (("tabla",),),                                 # tabla.*persona
+    (("tado",),),                                  # listado.*cliente
     (),                                            # cedula+monto digit line
 ]
 assert len(_TABLE_INDICATOR_GUARDS) == len(TABLE_INDICATORS)
-_TABLE_INDICATORS_GUARDED: list[tuple[tuple[str, ...], re.Pattern]] = list(
-    zip(_TABLE_INDICATOR_GUARDS, TABLE_INDICATORS)
-)
+_TABLE_INDICATORS_GUARDED: list[
+    tuple[tuple[tuple[str, ...], ...], re.Pattern]
+] = list(zip(_TABLE_INDICATOR_GUARDS, TABLE_INDICATORS))
 
 # --- First-page / config-block metadata (metadata_service.py:56-87) --------
 # Matched against lowercased text with line structure preserved (see module
@@ -144,6 +146,10 @@ SEPARATOR_PATTERNS: list[str] = [
     "---",
     "===",
 ]
+# Logically-reduced probe set: "separador de oficios" ⊃ "separador" and the
+# 21-char "=" run ⊃ "===", so `any(p in low)` over the six patterns equals
+# `any(p in low)` over these four (equality pinned in test_patterns).
+SEPARATOR_PROBES: tuple[str, ...] = ("separador", "divisor", "---", "===")
 SEPARATOR_MAX_LEN = 200  # separator pages/lines are short (pdf_service.py:91)
 
 # --- Config-page indicators (pdf_service.py:209-223) -----------------------
@@ -159,15 +165,19 @@ BASIC_AUTORIDAD = [
 BASIC_DATE = re.compile(r"(\d{1,2}[\/\-]\d{1,2}[\/\-]\d{4})")
 
 
-def is_separator_line(line: str) -> bool:
+def is_separator_line(line: str, low: str = None) -> bool:
     """A line is a separator iff it contains a separator pattern and is short.
 
-    Mirrors src/services/pdf_service.py:78-95 (page → line analog).
+    Mirrors src/services/pdf_service.py:78-95 (page → line analog). ``low``
+    lets batch callers (``split_segments``) reuse one whole-document
+    ``lower()`` instead of paying a per-line one; probes use the reduced
+    :data:`SEPARATOR_PROBES` set, which is boolean-equal to the full list.
     """
-    low = line.lower()
     if len(line.strip()) >= SEPARATOR_MAX_LEN:
         return False
-    return any(p in low for p in SEPARATOR_PATTERNS)
+    if low is None:
+        low = line.lower()
+    return any(p in low for p in SEPARATOR_PROBES)
 
 
 def has_config_block(text: str) -> bool:
@@ -181,16 +191,20 @@ def should_have_persons(text: str, low: str = None) -> bool:
 
     Short-circuiting per-pattern loop (measured 2.4× faster than one combined
     alternation) with necessary-literal guards in front of each regex: a doc
-    failing a guard cannot match that pattern, so indicator-free docs pay ten
-    C-level substring probes plus ONE unguardable digit-line scan instead of
-    ten full-document regex scans (measured 0.78 s → 0.15 s per 1.6k docs).
-    Result is identical to :func:`should_have_persons_reference` — equality
-    is pinned in tests over the corpus plus fold-adversarial strings.
+    failing any guard group cannot match that pattern, so indicator-free docs
+    pay a handful of C-level substring probes plus ONE unguardable digit-line
+    scan instead of ten full-document regex scans (measured 0.78 s → 0.15 s
+    per 1.6k docs; the conjunction form further skips scans on docs that
+    contain 'monto' but no 'b/', '|' but no 'nombre', etc.). Result is
+    identical to :func:`should_have_persons_reference` — equality is pinned
+    in tests over the corpus plus fold-adversarial strings.
     """
     if low is None:
         low = text.lower()
     for guards, pat in _TABLE_INDICATORS_GUARDED:
-        if guards and not any(g in low for g in guards):
+        if guards and not all(
+            any(g in low for g in group) for group in guards
+        ):
             continue
         if pat.search(low):
             return True

@@ -72,6 +72,32 @@ def test_separator_lines():
     assert not P.is_separator_line("linea normal de contenido")
 
 
+def test_separator_probe_reduction_equals_full_list():
+    """SEPARATOR_PROBES must be boolean-equal to SEPARATOR_PATTERNS: the two
+    dropped patterns are superstrings of kept ones, so `any` is unchanged."""
+    cases = [
+        "separador de oficios",
+        "SEPARADOR",
+        "=" * 21,
+        "===",
+        "==",                       # too short for any pattern
+        "--",
+        "--- corte ---",
+        "divisor de lote",
+        "separad",                  # prefix only → False
+        "linea normal",
+        "",
+        "ſeparador",                # long-s: both forms must agree (False)
+    ]
+    for c in cases:
+        low = c.lower()
+        full = any(p in low for p in P.SEPARATOR_PATTERNS)
+        reduced = any(p in low for p in P.SEPARATOR_PROBES)
+        assert full == reduced, c
+        # and the two is_separator_line call forms agree
+        assert P.is_separator_line(c) == P.is_separator_line(c, low)
+
+
 def test_basic_info():
     info = extract_basic_info(
         "OFICIO: JE-881-2025\nJuzgado Primero de Circuito hace saber. "
@@ -228,7 +254,10 @@ def test_extract_basic_info_guarded_equals_reference():
         "TRIBUNAL superior",
         "trıbunal de cuentas",                 # dotless-i: regex matches, guard 'bunal' holds
         "Ministerio público. fecha 3-4-2024",
-        "mınısterıo publico",                  # 'ter' guard still present → regex decides
+        "mınısterıo publico",                  # dotless-ı: guard variant 'terıo' holds
+        "MİNİSTERİO PÚBLICO",                  # Turkish İ: lower() → 'teri̇o' variant
+        "mİnİsterİo de salud",                 # mixed-İ lowercase form
+        "criterio y cementerio 1/1/2024",      # guard 'terio' passes, regex must say no
         "sin autoridad aqui 9/9/2024",
         "juzgado",                             # keyword with no trailing text
     ]
