@@ -153,12 +153,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     telemetry: dict[str, dict] = {}
 
     def timed(name: str, fn) -> None:
-        with _StoreMonitor() as mon:
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        telemetry[name] = mon.stats()
+        # best of 2, like the headline: every entry is an idempotent
+        # read→compute→count, and single-shot walls on this shared box
+        # occasionally catch a multi-second stall (observed: line_dedup
+        # 17.4 s once vs 4.5–5.3 s across three isolated re-runs) that
+        # would read as a phantom regression in the recorded JSON.
+        # Telemetry keeps the MAX across reps: spill/occupancy is an
+        # early-warning channel, and taking the fast rep's stats would
+        # structurally mask a spill that only the slow rep exhibited.
+        best = float("inf")
+        tel: dict = {}
+        for _ in range(2):
+            with _StoreMonitor() as mon:
+                t0 = time.time()
+                fn()
+                dt = time.time() - t0
+            best = min(best, dt)
+            for k, v in mon.stats().items():
+                tel[k] = max(tel.get(k, 0), v)
+        queries[name] = round(best, 3)
+        telemetry[name] = tel
 
     # untimed warmup: run the same pipeline once so Ray worker processes /
     # shuffle aggregators exist and imports are loaded — both parallelism
@@ -168,6 +182,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # headline: full extraction pipeline → parquet sink (the real consumer);
     # best of 2 timed runs (single-node wall times vary ~±10%)
     headline = float("inf")
+    head_tel: dict = {}
     for rep in range(2):
         shutil.rmtree(out_dir, ignore_errors=True)
         with _StoreMonitor() as mon:
@@ -175,9 +190,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ds = run_extraction(sf_dir, cfg)
             ds.write_parquet(os.path.join(out_dir, "extracted"))
             dt = time.time() - t0
-        if dt < headline:
-            headline = dt
-            telemetry["extraction_write"] = mon.stats()
+        headline = min(headline, dt)
+        # max across reps — don't let the fast rep hide the slow one's spill
+        for k, v in mon.stats().items():
+            head_tel[k] = max(head_tel.get(k, 0), v)
+    telemetry["extraction_write"] = head_tel
     queries["extraction_write"] = round(headline, 3)
 
     n_docs = ray.data.read_parquet(os.path.join(out_dir, "extracted")).count()
@@ -187,6 +204,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "metric": "extraction_pipeline_sec",
             "value": round(headline, 3),
             "unit": "sec",
+            "protocol": "best-of-2 (headline only)",
             "queries": queries,
             "telemetry": telemetry,
             "sf": _sf_number(sf_dir),
@@ -329,6 +347,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "metric": "extraction_pipeline_sec",
         "value": round(headline, 3),
         "unit": "sec",
+        "protocol": "best-of-2 per entry (headline and per-op)",
         "queries": queries,
         # per-entry object-store telemetry (round 5): peak occupancy and
         # spill growth during each timed block — the early-warning signal
