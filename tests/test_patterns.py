@@ -1,5 +1,8 @@
 """Regex parity tests — cases anchored to the cited reference semantics."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from ocr_sam_project_ray.functions import patterns as P
 from ocr_sam_project_ray.functions.extract_core import (
     extract_basic_info, extract_entities,
@@ -263,3 +266,53 @@ def test_extract_basic_info_guarded_equals_reference():
     ]
     for t in texts + adversarial:
         assert extract_basic_info(t) == reference(t), t
+
+
+# --- property fuzz of the guard equalities (round 5) ----------------------
+# The corpus + hand-picked adversarial cases above pin known hazards; this
+# generator composes guard-adjacent tokens, fold-adversarial codepoints
+# (ı, İ, ſ, K, ﬁ), digits, pipes and long runs into arbitrary documents so
+# NEW hazard combinations are searched every run. An 8000-example run of
+# the same property passed during round 5; CI keeps a lighter count.
+_GUARD_FRAGMENTS = st.sampled_from([
+    "monto", "b/", "B/", "|", "nombre", "NOMBRE", "n°", "Nº", "exp", "EXP",
+    "agente", "económico", "empleador", "ruc", "R.U.C.", "c.i.p", "C.I.P",
+    "cıp", "CİP", "tabla", "persona", "listado", "cliente", "juzgado",
+    "JUZGADO", "tribunal", "TRIBUNAL", "ministerio", "MINISTERIO",
+    "minısterıo", "MİNİSTERİO", "ſ", "ı", "İ", "K", "ﬁ", "oficio", "No.",
+    "12345", "8-123-456", "B/. 1,234.56", "01/02/2023", "cédula",
+    "separador", "SEPARADOR DE OFICIOS", "divisor", "---", "===", "=" * 25,
+    " ", "\n", "\t", "x" * 300, "juzgado primero de lo civil", "del", ":",
+])
+_GUARD_DOCS = st.lists(_GUARD_FRAGMENTS, min_size=0, max_size=40).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_GUARD_DOCS)
+def test_guard_equalities_fuzz(t):
+    from ocr_sam_project_ray.functions.extract_core import extract_basic_info
+
+    assert P.should_have_persons(t) == P.should_have_persons_reference(t)
+
+    info_ref = {"numero_oficio": None, "autoridad": None, "fecha_emision": None}
+    m = P.BASIC_OFICIO.search(t)
+    if m:
+        info_ref["numero_oficio"] = m.group(1)
+    for pat in P.BASIC_AUTORIDAD:
+        m = pat.search(t)
+        if m:
+            info_ref["autoridad"] = m.group(1)
+            break
+    m = P.BASIC_DATE.search(t)
+    if m:
+        info_ref["fecha_emision"] = m.group(1)
+    assert extract_basic_info(t) == info_ref
+
+    low = t.lower()
+    t_lines, low_lines = t.split("\n"), low.split("\n")
+    if len(t_lines) == len(low_lines):  # lower() never creates/removes \n
+        for line, lline in zip(t_lines, low_lines):
+            full = len(line.strip()) < P.SEPARATOR_MAX_LEN and any(
+                p in line.lower() for p in P.SEPARATOR_PATTERNS
+            )
+            assert P.is_separator_line(line, lline) == full
