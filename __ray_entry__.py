@@ -197,11 +197,17 @@ def _q_project_names_b(sf_dir: str):
 def _q_text_scores(sf_dir: str):
     """Deterministic text-analysis scorer (the reference's complementary
     analyzer seam, mistral_service.py:43-273 → stages/scorer.py)."""
+    import ray as _ray
+
     from ocr_sam_project_ray.stages.scorer import TextScorer
 
+    # autoscale the pool ceiling to the cluster: a fixed (1, 4) cap left
+    # 5/6 of a 24-CPU box idle at sf0.1 (measured 54.7 s -> the scorer, not
+    # extraction, was the wall; the scan kernel is per-doc CPU-bound)
+    _cpus = int(_ray.cluster_resources().get("CPU", 8))
     ds = _annotated(sf_dir).map_batches(
         TextScorer, batch_format="pyarrow", batch_size=512,
-        concurrency=(1, 4), num_cpus=1,
+        concurrency=(1, max(4, _cpus - 2)), num_cpus=1,
     )
     df = ds.select_columns(
         ["doc_id", "summary", "risk_keyword_count", "legal_density_ppm", "success"]

@@ -24,9 +24,7 @@ import re
 import pyarrow as pa
 
 from ..functions.classify import HIGH_PRIORITY_KEYWORDS
-from ..functions.patterns import PANAMA_PATTERNS
-
-_WS = re.compile(r"\s+")
+from ..functions.extract_core import extract_spans
 
 
 class TextScorer:
@@ -37,12 +35,25 @@ class TextScorer:
 
     def score_one(self, text: str) -> tuple[str, int, int]:
         text = text or ""
-        collapsed = _WS.sub(" ", text).strip()
-        summary = collapsed[: self.summary_chars]
+        # summary: " ".join(s.split()) == re.sub(r"\s+", " ", s).strip() on every
+        # string (the html_text.py whitespace-set enumeration), and f(P) is
+        # always a PREFIX of f(T) for any prefix P of T (split/join only
+        # deletes whitespace and inserts single separators), so collapsing a
+        # bounded prefix yields the identical first summary_chars characters;
+        # escalate only in the rare whitespace-dense case. Equality with the
+        # full-collapse form is pinned in test_scorer_and_skew over corpus
+        # texts plus whitespace-dense adversarial cases.
+        k = self.summary_chars
+        take = 4 * k + 64
+        collapsed = " ".join(text[:take].split())
+        while len(collapsed) < k and take < len(text):
+            take *= 8
+            collapsed = " ".join(text[:take].split())
+        summary = collapsed[:k]
         risk = len(self.kw.findall(text.lower()))
-        covered = 0
-        for pat in PANAMA_PATTERNS.values():
-            covered += sum(m.end() - m.start() for m in pat.finditer(text))
+        # identical match set to six full finditer passes — extract_spans'
+        # digit-window fast path is equality-pinned in test_patterns
+        covered = sum(s["end"] - s["start"] for s in extract_spans(text))
         density_ppm = int(covered * 1_000_000 / len(text)) if text else 0
         return summary, risk, density_ppm
 

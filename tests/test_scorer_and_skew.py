@@ -122,3 +122,50 @@ def test_validator_size_boundaries():
     out = validate_batch(batch)
     assert out["valid"].to_pylist() == [True, False, True]
     assert "too small" in out["error"][1].as_py()
+
+
+def test_scorer_fast_kernel_equals_reference_form():
+    """The round-5 scorer kernel (bounded-prefix summary collapse +
+    extract_spans windowed density) must be value-identical to the plain
+    form: full-text regex whitespace collapse + six full finditer passes."""
+    import glob as _glob
+    import re
+
+    import pyarrow.parquet as pq
+
+    from ocr_sam_project_ray.functions.patterns import PANAMA_PATTERNS
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    ws = re.compile(r"\s+")
+    sc = TextScorer()
+
+    def reference(text):
+        text = text or ""
+        collapsed = ws.sub(" ", text).strip()
+        summary = collapsed[: sc.summary_chars]
+        risk = len(sc.kw.findall(text.lower()))
+        covered = 0
+        for pat in PANAMA_PATTERNS.values():
+            covered += sum(m.end() - m.start() for m in pat.finditer(text))
+        density = int(covered * 1_000_000 / len(text)) if text else 0
+        return summary, risk, density
+
+    p = ensure_corpus(SF)
+    texts = []
+    for f in sorted(_glob.glob(p["golden_segments"])):
+        texts.extend(
+            x for x in pq.read_table(f, columns=["extracted_text"])[
+                "extracted_text"
+            ].to_pylist() if x
+        )
+    assert len(texts) > 50
+    texts += [
+        "", "   ", " \n\t " * 500,            # whitespace-dense: escalation path
+        "a" * 50, "x" * 10_000,               # digit-free long text
+        "w " * 2_000,                         # summary needs >1 escalation? no — wide prefix
+        "B/. 1,234.56 " * 100,                # span-dense
+        " " * 300 + "hola " * 100,            # leading-whitespace strip
+        None,
+    ]
+    for t in texts:
+        assert sc.score_one(t) == reference(t), repr(t)[:80]
