@@ -41,27 +41,36 @@ def token_df(
     (ops/textstats.tokenize: split \\s+ after strip). A row is entirely
     inside one batch, so per-batch distinct-doc counts sum to exact global
     document frequency."""
-    from collections import Counter
-
-    from .textstats import tokenize
+    from .textstats import doc_token_counts
 
     configure_data_context()
 
     def partial(batch: pa.Table) -> pa.Table:
-        df_c: Counter = Counter()
-        tf_c: Counter = Counter()
-        for text in batch[text_col].to_pylist():
-            toks = tokenize(text)
-            if not toks:
-                continue
-            tf_c.update(toks)
-            df_c.update(set(toks))
-        tokens = sorted(df_c)
+        # vectorized combiner (textstats.doc_token_counts): df = number
+        # of distinct (doc, token) pairs per token, tf = their count sum
+        # — one bincount each over the batch-local dictionary. Output
+        # order is irrelevant (feeds the token-key groupby).
+        pair_doc, pair_token, pair_tf, _dl = doc_token_counts(
+            batch[text_col]
+        )
+        if len(pair_token) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        enc = pc.dictionary_encode(pair_token)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nd = len(enc.dictionary)
         return pa.table(
             {
-                "token": pa.array(tokens, pa.string()),
-                "df": pa.array([df_c[t] for t in tokens], pa.int64()),
-                "tf": pa.array([tf_c[t] for t in tokens], pa.int64()),
+                "token": enc.dictionary,
+                "df": pa.array(np.bincount(codes, minlength=nd), pa.int64()),
+                "tf": pa.array(
+                    np.bincount(codes, weights=pair_tf, minlength=nd)
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -199,7 +208,7 @@ def pack_documents(
     Oracle: SQL window SUM OVER (ORDER BY hash ROWS … 1 PRECEDING)."""
     import hashlib
 
-    from .textstats import tokenize
+    from .textstats import flat_tokens
 
     configure_data_context()
 
@@ -211,7 +220,7 @@ def pack_documents(
                 id_col: batch[id_col],
                 "h": pa.array(hs, pa.string()),
                 "bucket": pa.array([int(h[:2], 16) for h in hs], pa.int64()),
-                "n": pa.array([len(tokenize(t)) for t in texts], pa.int64()),
+                "n": pa.array(flat_tokens(batch[text_col])[0], pa.int64()),
             }
         )
 
@@ -298,14 +307,12 @@ def token_count_quantiles(
     oracle runs at but diverges for e.g. n=71, q=0.99)."""
     import pandas as pd
 
-    from .textstats import sql_n_tokens, tokenize  # noqa: F401 (sql used by oracle)
+    from .textstats import flat_tokens, sql_n_tokens  # noqa: F401 (sql used by oracle)
 
     configure_data_context()
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts = pa.array(
-            [len(tokenize(t)) for t in batch[text_col].to_pylist()], pa.int64()
-        )
+        counts = pa.array(flat_tokens(batch[text_col])[0], pa.int64())
         agg = pa.table({"n_tokens": counts}).group_by("n_tokens").aggregate(
             [([], "count_all")]
         )

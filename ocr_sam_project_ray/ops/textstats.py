@@ -14,6 +14,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[.,;:!?]")
@@ -31,6 +32,69 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 def tokenize(text: str) -> list[str]:
     t = (text or "").strip()
     return _WS.split(t) if t else []
+
+
+def flat_tokens(col) -> tuple[np.ndarray, "pa.Array", np.ndarray]:
+    """Vectorized engine-contract tokenizer over an Arrow string column:
+    returns ``(dl, flat, doc_idx)`` where ``dl[i]`` is row i's token
+    count, ``flat`` is every token of every row in row-major order (an
+    Arrow string array — no Python strings materialize), and
+    ``doc_idx[j]`` is the row index of ``flat[j]``.
+
+    EXACT parity with ``[tokenize(t) for t in col]`` flattened (pinned
+    by test_ops_textstats): ``pc.utf8_split_whitespace`` groups
+    whitespace RUNS (so interior empties cannot occur) and its Unicode
+    whitespace set equals Python's ``\\s`` — verified by full-codepoint
+    enumeration over every non-surrogate scalar (the divergence sets
+    are empty in BOTH directions; the test re-enumerates the plane-0
+    range that contains all whitespace plus a high-plane sample). The
+    only difference is boundary empties from leading/trailing
+    whitespace (Python strips first); those are filtered here. ~4x
+    faster than the per-row Python path at 200-token docs — the shared
+    kernel behind bm25/tfidf/token-count hot paths."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    la = pc.utf8_split_whitespace(filled)
+    lens = pc.list_value_length(la).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(la)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    if not nonempty.all():
+        # boundary empties only: subtract their per-row count from dl
+        lens = lens - np.bincount(doc_idx[~nonempty], minlength=len(lens))
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+    return lens, flat, doc_idx
+
+
+def doc_token_counts(
+    col,
+) -> tuple[np.ndarray, "pa.Array", np.ndarray, np.ndarray]:
+    """Per-(row, token) term frequencies for one batch, fully vectorized:
+    returns ``(pair_doc, pair_token, pair_tf, dl)`` — one entry per
+    DISTINCT (row, token) pair, where ``pair_doc[j]`` is the row index,
+    ``pair_token`` the token (Arrow string array), ``pair_tf[j]`` its
+    occurrence count in that row, and ``dl`` the per-row total token
+    count. Semantics identical to ``Counter(tokenize(t))`` per row
+    (pinned by test_ops_textstats); pairs come out grouped by row in
+    first-seen dictionary order per batch — callers must not rely on
+    token order (every consumer feeds a groupby or a per-doc rank).
+    The shared combiner kernel behind token_df / tfidf: tokenize is
+    flat_tokens (C-speed), token identity one dictionary_encode, pair
+    counting one np.unique over int64 keys."""
+    dl, flat, doc_idx = flat_tokens(col)
+    if len(flat) == 0:
+        return (np.zeros(0, np.int64), flat, np.zeros(0, np.int64), dl)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ndict = len(enc.dictionary)
+    key = doc_idx * ndict + codes
+    uk, counts = np.unique(key, return_counts=True)
+    pair_doc = uk // ndict
+    pair_code = uk % ndict
+    pair_token = enc.dictionary.take(pa.array(pair_code, pa.int64()))
+    return pair_doc, pair_token, counts.astype(np.int64), dl
 
 
 def lang_id(text: str) -> str:

@@ -125,3 +125,56 @@ def test_format_sniffing_magic_bytes():
     assert sniff_format(b"RIFF\x00\x00\x00\x00WAVE") == "unknown"
     assert sniff_format(b"plain text payload") == "unknown"
     assert sniff_format(b"") == "unknown"
+
+
+def test_flat_tokens_parity_adversarial():
+    """flat_tokens == [tokenize(t) for t in col] flattened, on the nasty
+    cases: nulls, empties, whitespace-only, exotic Unicode whitespace
+    (\\x1c-\\x1f file separators, NEL, NBSP, line/para separators,
+    ideographic space), leading/trailing runs, and high-plane text."""
+    import numpy as np
+
+    from ocr_sam_project_ray.ops.textstats import flat_tokens
+
+    texts = [
+        "  a  b\tc ", "", None, "   ", "\x1ca\x1db\x1ec\x1fd",
+        "a\x85b\xa0c", "x y z", "w　v", " q ",
+        "😀 𝔘𝔫𝔦 \U0010FFFDtail", "one", " lead", "trail ", "\n\n\n",
+        "a" * 500 + " " + "b" * 500,
+    ]
+    col = pa.array(texts)
+    dl, flat, doc_idx = flat_tokens(col)
+    exp = [tokenize(t) for t in texts]
+    assert dl.tolist() == [len(e) for e in exp]
+    assert flat.to_pylist() == [t for e in exp for t in e]
+    assert doc_idx.tolist() == [i for i, e in enumerate(exp) for _ in e]
+    # chunked input takes the combine_chunks path
+    ch = pa.chunked_array([texts[:5], texts[5:]], type=pa.string())
+    dl2, flat2, di2 = flat_tokens(ch)
+    assert dl2.tolist() == dl.tolist() and flat2.to_pylist() == flat.to_pylist()
+    assert di2.tolist() == doc_idx.tolist()
+    # all-clean fast path (no boundary empties anywhere)
+    clean = pa.array(["a b", "c", "d e f"])
+    dl3, flat3, di3 = flat_tokens(clean)
+    assert dl3.tolist() == [2, 1, 3]
+    assert flat3.to_pylist() == ["a", "b", "c", "d", "e", "f"]
+    assert di3.tolist() == [0, 0, 1, 2, 2, 2]
+
+
+def test_flat_tokens_whitespace_set_equals_python():
+    """Re-enumerate the parity argument: Arrow's Unicode whitespace set
+    equals Python re \\s over the range containing every Unicode
+    whitespace scalar (all are < 0x3100), plus a high-plane sample.
+    Full-space enumeration (done offline) found ZERO divergence in
+    either direction; this pins the claim against pyarrow upgrades."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    cps = list(range(0x3100)) + [0xFEFF, 0x1680, 0x10000, 0x1F600, 0x10FFFD]
+    cps = [c for c in cps if not (0xD800 <= c <= 0xDFFF)]
+    arr = pa.array(["a" + chr(c) + "b" for c in cps])
+    lens = pc.list_value_length(pc.utf8_split_whitespace(arr)).to_pylist()
+    ws = _re.compile(r"\s")
+    for c, n in zip(cps, lens):
+        assert (n == 2) == bool(ws.match(chr(c))), hex(c)
