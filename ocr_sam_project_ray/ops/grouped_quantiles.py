@@ -33,7 +33,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from ..context import configure_data_context
-from .textstats import tokenize
+from .textstats import flat_tokens
 
 DEFAULT_QS = (0.5, 0.9, 0.99)
 
@@ -47,10 +47,7 @@ def grouped_token_quantiles(
     configure_data_context()
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts = pa.array(
-            [len(tokenize(t)) for t in batch[text_col].to_pylist()],
-            pa.int64(),
-        )
+        counts = pa.array(flat_tokens(batch[text_col])[0], pa.int64())
         agg = (
             pa.table({group_col: batch[group_col], "n_tokens": counts})
             .group_by([group_col, "n_tokens"])

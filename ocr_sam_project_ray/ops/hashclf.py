@@ -34,7 +34,7 @@ import ray.data
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .textstats import tokenize
+from .textstats import flat_tokens, token_lff
 
 HASH_DIM = 1024
 WEIGHT_MULT = 2654435761
@@ -42,41 +42,27 @@ WEIGHT_MOD = 1997
 WEIGHT_SHIFT = 998
 
 
-def _scores(texts: list) -> np.ndarray:
-    """Vectorized per-doc integer scores for one batch."""
-    toks_per_doc = [tokenize(t) for t in texts]
-    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-    flat = [tok for toks in toks_per_doc for tok in toks]
-    scores = np.zeros(len(texts), dtype=np.int64)
-    if flat:
-        n = len(flat)
-        maxlen = max(map(len, flat))
-        if maxlen <= 128:
-            # fast path: one padded U-array, fully vectorized code-point
-            # access. Padding cost is n × maxlen × 4 bytes — bounded by
-            # the 128-char cap.
-            arr = np.asarray(flat, dtype="U")
-            width = arr.dtype.itemsize // 4
-            codes = arr.view(np.uint32).reshape(n, width).astype(np.int64)
-            lens = np.char.str_len(arr).astype(np.int64)
-            first = codes[:, 0]
-            last = codes[np.arange(n), lens - 1]
-        else:
-            # degenerate-token guard (one unbroken 100 KB base64 blob
-            # would make the padded array n × maxlen × 4 bytes → OOM):
-            # only length/first/last are needed, so extract them in O(n)
-            # memory via a compact 2-char array.
-            lens = np.fromiter(map(len, flat), dtype=np.int64, count=n)
-            fl = np.asarray([t[0] + t[-1] for t in flat], dtype="U2")
-            pair = fl.view(np.uint32).reshape(n, 2).astype(np.int64)
-            first, last = pair[:, 0], pair[:, 1]
+def _scores(col) -> np.ndarray:
+    """Vectorized per-doc integer scores for one batch. ``col`` is the
+    Arrow text column; no Python string materializes anywhere —
+    tokenization is textstats.flat_tokens and the (len, first, last)
+    char features decode straight from the token buffers
+    (textstats.token_lff, which replaced the padded numpy-U view and
+    its degenerate-token guard: buffer decode is O(bytes) regardless of
+    the longest token)."""
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(list(col), pa.string())
+    n_docs = len(col)
+    _dl, flat, doc_idx = flat_tokens(col)
+    scores = np.zeros(n_docs, dtype=np.int64)
+    if len(flat):
+        lens, first, last = token_lff(flat)
         h = (lens * 97 + first * 31 + last) % HASH_DIM
         w = (h * WEIGHT_MULT) % WEIGHT_MOD - WEIGHT_SHIFT
-        doc_idx = np.repeat(np.arange(len(texts)), counts)
         # |w| < 1000 and float64 sums are exact far beyond any real
         # per-doc token count, so the float bincount is integer-exact
         scores = np.bincount(
-            doc_idx, weights=w, minlength=len(texts)
+            doc_idx, weights=w, minlength=n_docs
         ).astype(np.int64)
     return scores
 
@@ -88,7 +74,7 @@ def hashclf_score(
     configure_data_context()
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        s = _scores(batch[text_col].to_pylist())
+        s = _scores(batch[text_col])
         gate = np.where(s >= 0, "keep", "drop")
         return pa.table(
             {

@@ -37,7 +37,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .textstats import tokenize
+from .textstats import doc_token_counts
 
 
 def build_inverted_index(
@@ -48,17 +48,16 @@ def build_inverted_index(
     configure_data_context()
 
     def pairs(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        ids: list[int] = []
-        for i, text in zip(batch[id_col].to_pylist(),
-                           batch[text_col].to_pylist()):
-            for t in set(tokenize(text)):
-                toks.append(t)
-                ids.append(i)
+        # distinct (doc, token) pairs, vectorized (doc_token_counts —
+        # the tf side is discarded; distinctness is exactly the posting
+        # contract)
+        pair_doc, pair_token, _tf, _dl = doc_token_counts(batch[text_col])
         return pa.table(
             {
-                "token": pa.array(toks, pa.string()),
-                "doc_id": pa.array(ids, pa.int64()),
+                "token": pair_token,
+                "doc_id": batch[id_col].take(
+                    pa.array(pair_doc, pa.int64())
+                ).cast(pa.int64()),
             }
         )
 

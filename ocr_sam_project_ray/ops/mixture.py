@@ -43,7 +43,7 @@ import ray
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .textstats import tokenize
+from .textstats import flat_tokens
 
 
 def mixture_sample(
@@ -70,7 +70,7 @@ def mixture_sample(
                 "h": pa.array(hs, pa.string()),
                 "bucket": pa.array([int(h[:2], 16) for h in hs], pa.int64()),
                 "n_tokens": pa.array(
-                    [len(tokenize(t)) for t in texts], pa.int64()
+                    flat_tokens(batch[text_col])[0], pa.int64()
                 ),
             }
         )

@@ -97,6 +97,55 @@ def doc_token_counts(
     return pair_doc, pair_token, counts.astype(np.int64), dl
 
 
+def _single_cp(arr) -> np.ndarray:
+    """Vectorized UTF-8 decode of an array of SINGLE-codepoint strings
+    (each element 1–4 bytes) straight from the Arrow buffers — no Python
+    strings. Valid UTF-8 by construction (Arrow enforces it), so the
+    lead-byte width patterns are exhaustive."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], odt)[
+        arr.offset: arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8).astype(np.int64)
+    starts = off[:-1]
+    nb = off[1:] - starts
+    b0 = data[starts]
+    cp = b0.copy()
+    for width, mask0, shift in ((2, 0x1F, 6), (3, 0x0F, 12), (4, 0x07, 18)):
+        m = nb == width
+        if m.any():
+            s = starts[m]
+            v = (b0[m] & mask0) << shift
+            for j in range(1, width):
+                v |= (data[s + j] & 0x3F) << (shift - 6 * j)
+            cp[m] = v
+    return cp
+
+
+def token_lff(flat) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(codepoint length, first codepoint, last codepoint) per token of
+    an Arrow string array of NON-EMPTY tokens (flat_tokens output) —
+    int64 numpy arrays, fully vectorized. Exact parity with the Python
+    rendering (len(tok), ord(tok[0]), ord(tok[-1])): utf8_length counts
+    codepoints like len(), and _single_cp decodes the 1-char slices
+    exactly (surrogates cannot occur in valid UTF-8). The shared
+    char-feature kernel behind ops/hashclf and stages/embedder —
+    replaces the padded numpy-U view, which required materializing every
+    token as a Python string first."""
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    first = _single_cp(pc.utf8_slice_codeunits(flat, 0, 1))
+    last = _single_cp(pc.utf8_slice_codeunits(flat, -1, None))
+    return lens, first, last
+
+
 def lang_id(text: str) -> str:
     toks = tokenize((text or "").lower())  # null-safe like tokenize/quality_row
     best_lang, best_hits = "und", 0

@@ -7,14 +7,15 @@ Contract (what the DuckDB oracle recomputes exactly):
   whitespace split after strip; '' / NULL -> no tokens);
 - tf(d, t)  = occurrences of t in d;  df(t) = distinct docs containing t;
   N = total input rows (including token-less docs);
-- score(d, t) = (tf * N) / df computed as ONE IEEE-754 double division of
-  the exact integer tf*N (< 2^53 by contract) by the exact integer df —
-  a single correctly-rounded operation, so numpy and DuckDB produce
-  bit-identical doubles and identical rank order. This is the LINEAR-idf
-  tf-idf variant, chosen deliberately: log-idf ranks identically for a
-  fixed tf (log is monotone) but its last-ulp value is libm-dependent,
-  which would make cross-engine rank parity unprovable. Documented
-  trade-off; the ordering differs from log-idf only across tf levels.
+- score(d, t) = (tf * N) / df rendered EXACTLY as the oracle's
+  ``CAST(tf * N AS DOUBLE) / df``: the int64 product converts to double
+  (exact below 2^53 — guarded loudly), then ONE correctly-rounded IEEE
+  division, so numpy and DuckDB produce bit-identical doubles and
+  identical rank order. This is the LINEAR-idf tf-idf variant, chosen
+  deliberately: log-idf ranks identically for a fixed tf (log is
+  monotone) but its last-ulp value is libm-dependent, which would make
+  cross-engine rank parity unprovable. Documented trade-off; the
+  ordering differs from log-idf only across tf levels.
 - top-k per doc by (score DESC, token ASC); output one row per kept term:
   (doc_id, rank, token, tf, df, score), rank 1-based.
 
@@ -22,15 +23,22 @@ Scale shape:
 1. df resolve: corpus_stats.token_df (per-batch combiner -> one
    token-hash shuffle) -> bounded vocabulary Dataset.
 2. Apply:
-   - broadcast plan (vocab <= ``broadcast_max_tokens``): the (token -> df)
-     map is ``ray.put`` once; every batch recounts tf per doc and ranks
-     locally — zero further shuffle;
+   - broadcast plan (vocab <= ``broadcast_max_tokens``): the vocabulary
+     is ``ray.put`` once as (token array, df vector); every batch
+     recounts tf per doc and ranks locally — zero further shuffle;
    - distributed plan (above the bound): explode docs to (token, doc_id,
      tf) rows, tag-union with the df rows, co-partition on token
      (partition-local df attach — no Dataset.join, cf. span_dedup), then
      repartition the scored rows on doc_id and take top-k partition-
      locally. Both plans are equality-tested against each other and the
      SQL oracle.
+
+Every per-batch kernel is vectorized (round 5): tokenize + per-(doc,
+token) counting is textstats.doc_token_counts (Arrow split/flatten +
+one dictionary_encode + one np.unique — no Python strings, no per-row
+Counter), df attach is one ``pc.index_in`` hash lookup, and per-doc
+top-k is one multi-key ``pc.sort_indices`` + a segment-rank filter
+instead of a per-doc heapq loop.
 
 Behavioral lineage: the reference has no corpus-level statistics at all
 (one document per Lambda, src/ocr_processor/app.py:94-138); this op is
@@ -39,65 +47,91 @@ part of the engine's beyond-reference training-data surface.
 
 from __future__ import annotations
 
-import heapq
-from collections import Counter
-
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
 
 from ..context import configure_data_context
 from .corpus_stats import token_df
-from .textstats import tokenize
+from .textstats import doc_token_counts
 
 DEFAULT_K = 5
 BROADCAST_MAX_TOKENS = 5_000_000
 
 
-def _topk_rows(
-    doc_id, counts: Counter, df_of, n_docs: int, k: int,
-    out: dict[str, list],
-) -> None:
-    """Rank one doc's terms and append the top-k rows. ``df_of`` is any
-    token -> df mapping getter (dict.get or partition-local dict)."""
-    scored = []
-    for tok, tf in counts.items():
-        df = df_of(tok)
-        if df is None:  # distributed plan: token outside this partition
-            continue
-        scored.append((-(tf * n_docs) / df, tok, tf, df))
-    for rank, (neg_score, tok, tf, df) in enumerate(
-        heapq.nsmallest(k, scored), start=1
-    ):
-        out["doc_id"].append(doc_id)
-        out["rank"].append(rank)
-        out["token"].append(tok)
-        out["tf"].append(tf)
-        out["df"].append(df)
-        out["score"].append(-neg_score)
+def _score(tf: np.ndarray, df: np.ndarray, n_docs: int) -> np.ndarray:
+    """The contract's exact float rendering: int64 tf*N, cast to double,
+    ONE division. Loud guard at the 2^53 exact-conversion bound (the
+    oracle's CAST would silently round above it — raising keeps the
+    cross-engine bit-parity claim honest)."""
+    prod = tf * np.int64(n_docs)
+    if prod.size and int(prod.max()) >= 2 ** 53:
+        raise ValueError(
+            "tfidf contract exceeded 2^53 (tf * N no longer converts to "
+            "double exactly) — cross-engine bit parity would be lost"
+        )
+    return prod.astype(np.float64) / df.astype(np.float64)
 
 
-def _emit(out: dict[str, list], id_type: pa.DataType) -> pa.Table:
+def _rank_topk(
+    tbl: pa.Table, g: np.ndarray, k: int
+) -> tuple[pa.Table, np.ndarray]:
+    """Per-group top-k by (score DESC, token ASC) over pair rows.
+    ``g`` is an int64 group id aligned with ``tbl`` rows. One multi-key
+    Arrow sort + a vectorized segment-rank; returns (kept rows sorted by
+    (g, rank), their 1-based ranks)."""
+    tbl = tbl.append_column("g", pa.array(g, pa.int64()))
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[("g", "ascending"), ("score", "descending"),
+                   ("token", "ascending")],
+    )
+    tbl = tbl.take(idx)
+    gs = tbl["g"].to_numpy(zero_copy_only=False)
+    new = np.ones(len(gs), dtype=bool)
+    new[1:] = gs[1:] != gs[:-1]
+    starts = np.flatnonzero(new)
+    gi = np.cumsum(new) - 1
+    rank = np.arange(len(gs), dtype=np.int64) - starts[gi] + 1
+    keep = rank <= k
+    return tbl.filter(pa.array(keep)), rank[keep]
+
+
+def _emit(
+    doc_ids: pa.Array, rank: np.ndarray, pairs: pa.Table,
+    id_type: pa.DataType,
+) -> pa.Table:
     return pa.table(
         {
-            "doc_id": pa.array(out["doc_id"], id_type),
-            "rank": pa.array(out["rank"], pa.int64()),
-            "token": pa.array(out["token"], pa.string()),
-            "tf": pa.array(out["tf"], pa.int64()),
-            "df": pa.array(out["df"], pa.int64()),
-            "score": pa.array(out["score"], pa.float64()),
+            "doc_id": doc_ids.cast(id_type),
+            "rank": pa.array(rank, pa.int64()),
+            "token": pairs["token"],
+            "tf": pairs["tf"],
+            "df": pairs["df"],
+            "score": pairs["score"],
         }
     )
 
 
-def _new_out() -> dict[str, list]:
-    return {c: [] for c in ("doc_id", "rank", "token", "tf", "df", "score")}
+def _typed_empty(id_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], id_type),
+            "rank": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
 
 
-# per-worker cache of the deserialized vocabulary dict (same pattern as
+# per-worker cache of the deserialized vocabulary (same pattern as
 # span_dedup._DUP_CACHE — spares the per-batch ray.get round trip)
-_DF_CACHE: dict[str, dict] = {}
+_DF_CACHE: dict[str, tuple] = {}
 
 
 def tfidf_topk(
@@ -120,24 +154,56 @@ def tfidf_topk(
     )
     if use_broadcast:
         # bounded by contract: vocabulary <= broadcast_max_tokens entries
-        df_map: dict[str, int] = {}
+        tok_parts, df_parts = [], []
         for b in vocab.iter_batches(batch_format="pyarrow"):
-            df_map.update(zip(b["token"].to_pylist(), b["df"].to_pylist()))
-        df_ref = ray.put(df_map)
+            tok_parts.append(b["token"])
+            df_parts.append(b["df"].to_numpy(zero_copy_only=False))
+        vocab_tokens = (
+            pa.concat_arrays([c.combine_chunks() if isinstance(
+                c, pa.ChunkedArray) else c for c in tok_parts])
+            if tok_parts else pa.array([], pa.string())
+        )
+        vocab_df = (
+            np.concatenate(df_parts).astype(np.int64)
+            if df_parts else np.zeros(0, np.int64)
+        )
+        df_ref = ray.put((vocab_tokens, vocab_df))
 
         def apply(batch: pa.Table) -> pa.Table:
-            dfm = _DF_CACHE.get(df_ref.hex())
-            if dfm is None:
-                dfm = ray.get(df_ref)
+            vt = _DF_CACHE.get(df_ref.hex())
+            if vt is None:
+                vt = ray.get(df_ref)
                 _DF_CACHE.clear()
-                _DF_CACHE[df_ref.hex()] = dfm
-            out = _new_out()
-            for did, t in zip(batch[id_col].to_pylist(),
-                              batch[text_col].to_pylist()):
-                counts = Counter(tokenize(t))
-                if counts:
-                    _topk_rows(did, counts, dfm.get, n_docs, k, out)
-            return _emit(out, id_type)
+                _DF_CACHE[df_ref.hex()] = vt
+            v_tokens, v_df = vt
+            pair_doc, pair_token, pair_tf, _dl = doc_token_counts(
+                batch[text_col]
+            )
+            if len(pair_token) == 0:
+                return _typed_empty(id_type)
+            # vocabulary was computed from this same dataset under the
+            # same token contract, so every token hits; the fill_null(-1)
+            # + filter is structural safety only
+            vid = pc.fill_null(
+                pc.index_in(pair_token, value_set=v_tokens), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = vid >= 0
+            if not hit.all():
+                pair_doc = pair_doc[hit]
+                pair_token = pair_token.filter(pa.array(hit))
+                pair_tf = pair_tf[hit]
+                vid = vid[hit]
+            df_v = v_df[vid]
+            pairs = pa.table({
+                "token": pair_token,
+                "tf": pa.array(pair_tf, pa.int64()),
+                "df": pa.array(df_v, pa.int64()),
+                "score": pa.array(_score(pair_tf, df_v, n_docs),
+                                  pa.float64()),
+            })
+            kept, rank = _rank_topk(pairs, pair_doc, k)
+            doc_ids = batch[id_col].take(kept["g"])
+            return _emit(doc_ids, rank, kept, id_type)
 
         return ds.map_batches(apply, batch_format="pyarrow")
 
@@ -156,20 +222,19 @@ def _tfidf_distributed(
     term was scored in exactly one token partition)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        o_tok, o_id, o_tf = [], [], []
-        for did, t in zip(batch[id_col].to_pylist(),
-                          batch[text_col].to_pylist()):
-            for tok, tf in Counter(tokenize(t)).items():
-                o_tok.append(tok)
-                o_id.append(did)
-                o_tf.append(tf)
+        pair_doc, pair_token, pair_tf, _dl = doc_token_counts(
+            batch[text_col]
+        )
+        n = len(pair_token)
         return pa.table(
             {
-                "token": pa.array(o_tok, pa.string()),
-                "occ_id": pa.array(o_id, id_type),
-                "tf": pa.array(o_tf, pa.int64()),
-                "df": pa.array([-1] * len(o_tok), pa.int64()),
-                "side": pa.array([0] * len(o_tok), pa.int8()),
+                "token": pair_token,
+                "occ_id": batch[id_col].take(
+                    pa.array(pair_doc, pa.int64())
+                ),
+                "tf": pa.array(pair_tf, pa.int64()),
+                "df": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
             }
         )
 
@@ -178,10 +243,10 @@ def _tfidf_distributed(
         return pa.table(
             {
                 "token": batch["token"],
-                "occ_id": pa.array([None] * n, id_type),
-                "tf": pa.array([-1] * n, pa.int64()),
+                "occ_id": pa.nulls(n, id_type),
+                "tf": pa.array(np.full(n, -1, np.int64), pa.int64()),
                 "df": batch["df"],
-                "side": pa.array([1] * n, pa.int8()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
             }
         )
 
@@ -197,19 +262,21 @@ def _tfidf_distributed(
                  "tf": pa.array([], pa.int64()),
                  "df": pa.array([], pa.int64())}
             )
-        import pyarrow.compute as pc
-
         dfs = batch.filter(pc.equal(batch["side"], 1))
-        local = dict(zip(dfs["token"].to_pylist(), dfs["df"].to_pylist()))
         occ = batch.filter(pc.equal(batch["side"], 0))
+        # partition-local vectorized lookup: co-partitioning on token
+        # guarantees every occurrence's df row landed here, so index_in
+        # always hits (fill_null(-1) is structural safety only)
+        d_tok = dfs["token"].combine_chunks()
+        vid = pc.fill_null(
+            pc.index_in(occ["token"], value_set=d_tok), -1
+        )
         return pa.table(
             {
                 "occ_id": occ["occ_id"],
                 "token": occ["token"],
                 "tf": occ["tf"],
-                "df": pa.array(
-                    [local[t] for t in occ["token"].to_pylist()], pa.int64()
-                ),
+                "df": dfs["df"].combine_chunks().take(vid),
             }
         )
 
@@ -218,19 +285,23 @@ def _tfidf_distributed(
     by_doc = scored.repartition(num_blocks=num_partitions, keys=["occ_id"])
 
     def finish(batch: pa.Table) -> pa.Table:
-        out = _new_out()
-        if batch.num_rows:
-            per_doc: dict = {}
-            for did, tok, tf, df in zip(
-                batch["occ_id"].to_pylist(), batch["token"].to_pylist(),
-                batch["tf"].to_pylist(), batch["df"].to_pylist(),
-            ):
-                per_doc.setdefault(did, []).append((tok, tf, df))
-            for did, terms in per_doc.items():
-                counts = Counter({tok: tf for tok, tf, _ in terms})
-                local_df = {tok: df for tok, _, df in terms}
-                _topk_rows(did, counts, local_df.get, n_docs, k, out)
-        return _emit(out, id_type)
+        if batch.num_rows == 0:
+            return _typed_empty(id_type)
+        # group ids via dictionary codes — grouping only; output order
+        # within the batch is contract-free (consumers sort)
+        enc = batch["occ_id"].combine_chunks().dictionary_encode()
+        g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        df = batch["df"].to_numpy(zero_copy_only=False)
+        pairs = pa.table({
+            "token": batch["token"],
+            "tf": batch["tf"],
+            "df": batch["df"],
+            "score": pa.array(_score(tf, df, n_docs), pa.float64()),
+        })
+        kept, rank = _rank_topk(pairs, g, k)
+        doc_ids = enc.dictionary.take(kept["g"].cast(pa.int32()))
+        return _emit(doc_ids, rank, kept, id_type)
 
     return by_doc.map_batches(finish, batch_format="pyarrow",
                               batch_size=None)

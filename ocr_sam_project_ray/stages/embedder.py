@@ -83,7 +83,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from ..ops.textstats import tokenize
+from ..ops.textstats import flat_tokens, token_lff
 
 EMBED_DIM = 16
 HASH_MULT = 2654435761
@@ -91,38 +91,27 @@ HASH_MOD = 1997
 HASH_SHIFT = 998
 
 
-def _token_lff(flat: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(lens, first_cp, last_cp) int64 arrays for a flat token list —
-    the vectorized U-view pass shared by every lattice-hash consumer."""
-    n = len(flat)
-    maxlen = max(map(len, flat))
-    if maxlen <= 128:
-        arr = np.asarray(flat, dtype="U")
-        width = arr.dtype.itemsize // 4
-        codes = arr.view(np.uint32).reshape(n, width).astype(np.int64)
-        lens = np.char.str_len(arr).astype(np.int64)
-        first = codes[:, 0]
-        last = codes[np.arange(n), lens - 1]
-    else:
-        # degenerate-token guard: only len/first/last are needed, so a
-        # compact 2-char array keeps memory O(n) when one token is huge
-        lens = np.fromiter(map(len, flat), dtype=np.int64, count=n)
-        fl = np.asarray([t[0] + t[-1] for t in flat], dtype="U2")
-        pair = fl.view(np.uint32).reshape(n, 2).astype(np.int64)
-        first, last = pair[:, 0], pair[:, 1]
-    return lens, first, last
+def _as_arrow_text(texts) -> pa.Array:
+    if isinstance(texts, pa.ChunkedArray):
+        return texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        return texts
+    return pa.array(list(texts), pa.string())
 
 
-def hash_embed_batch(texts: list, dim: int = EMBED_DIM) -> np.ndarray:
+def hash_embed_batch(texts, dim: int = EMBED_DIM) -> np.ndarray:
     """(n_docs, dim) int64 embedding matrix for one batch — fully
-    vectorized (the ops/hashclf.py U-view shape, widened to a lattice)."""
-    toks_per_doc = [tokenize(t) for t in texts]
-    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-    flat = [tok for toks in toks_per_doc for tok in toks]
-    emb = np.zeros((len(texts), dim), dtype=np.int64)
-    if not flat:
+    vectorized on the shared Arrow kernels (textstats.flat_tokens +
+    token_lff: buffer-direct tokenize and char-feature decode; no Python
+    strings, O(bytes) regardless of the longest token). ``texts`` is an
+    Arrow string column or any sequence."""
+    col = _as_arrow_text(texts)
+    n_docs = len(col)
+    _dl, flat, doc_idx = flat_tokens(col)
+    emb = np.zeros((n_docs, dim), dtype=np.int64)
+    if not len(flat):
         return emb
-    lens, first, last = _token_lff(flat)
+    lens, first, last = token_lff(flat)
     hh = lens * 97 + first * 31 + last
     # Both consumers of hh are modular (j = hh % dim, w via % HASH_MOD),
     # so reducing hh mod (dim * HASH_MOD) first is EXACTLY equivalent to
@@ -133,13 +122,12 @@ def hash_embed_batch(texts: list, dim: int = EMBED_DIM) -> np.ndarray:
     hh %= dim * HASH_MOD
     j = hh % dim
     w = (hh * HASH_MULT) % HASH_MOD - HASH_SHIFT
-    doc_idx = np.repeat(np.arange(len(texts)), counts)
     # |w| < 1000: float64 bincount sums are integer-exact far beyond any
     # real per-doc token count (same argument as ops/hashclf._scores)
     cells = np.bincount(
-        doc_idx * dim + j, weights=w, minlength=len(texts) * dim
+        doc_idx * dim + j, weights=w, minlength=n_docs * dim
     ).astype(np.int64)
-    return cells.reshape(len(texts), dim)
+    return cells.reshape(n_docs, dim)
 
 
 def write_weights_artifact(path: str, weights: np.ndarray) -> None:
@@ -169,7 +157,7 @@ def load_weights_artifact(path: str) -> np.ndarray:
     return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
 
 
-def weights_embed_batch(texts: list, weights: np.ndarray) -> np.ndarray:
+def weights_embed_batch(texts, weights: np.ndarray) -> np.ndarray:
     """(n_docs, dim) float32 matrix: hashed EmbeddingBag with LEARNED
     weights — doc vector = Σ over its tokens of weights[hh(tok) mod
     n_buckets]. The raw lattice hash needs no pre-reduction here (no
@@ -177,16 +165,14 @@ def weights_embed_batch(texts: list, weights: np.ndarray) -> np.ndarray:
     runs in float64 (one bincount per output dim — dim is small) and is
     integer-EXACT whenever the artifact holds integer-valued weights,
     which is what lets the DuckDB oracle recompute this path bit-for-bit."""
-    toks_per_doc = [tokenize(t) for t in texts]
-    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
-    flat = [tok for toks in toks_per_doc for tok in toks]
-    n_docs, dim = len(texts), weights.shape[1]
-    if not flat:
+    col = _as_arrow_text(texts)
+    n_docs, dim = len(col), weights.shape[1]
+    _dl, flat, doc_idx = flat_tokens(col)
+    if not len(flat):
         return np.zeros((n_docs, dim), dtype=np.float32)
-    lens, first, last = _token_lff(flat)
+    lens, first, last = token_lff(flat)
     hh = lens * 97 + first * 31 + last
     b = hh % weights.shape[0]
-    doc_idx = np.repeat(np.arange(n_docs), counts)
     emb = np.empty((n_docs, dim), dtype=np.float64)
     w64 = weights.astype(np.float64)
     for d in range(dim):
@@ -243,7 +229,10 @@ class Embedder:
                 ) from exc
             model = SentenceTransformer(name)  # pragma: no cover
             self._encode = lambda texts: np.asarray(  # pragma: no cover
-                model.encode(list(texts))
+                model.encode(
+                    texts.to_pylist()
+                    if hasattr(texts, "to_pylist") else list(texts)
+                )
             )
         else:
             raise ValueError(f"unknown embedder backend: {backend!r}")
@@ -263,7 +252,7 @@ class Embedder:
         os.close(fd)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = self._encode(batch[self.text_col].to_pylist())
+        mat = self._encode(batch[self.text_col])
         if np.issubdtype(mat.dtype, np.integer):
             value_type = pa.int64()
         else:

@@ -178,3 +178,30 @@ def test_flat_tokens_whitespace_set_equals_python():
     ws = _re.compile(r"\s")
     for c, n in zip(cps, lens):
         assert (n == 2) == bool(ws.match(chr(c))), hex(c)
+
+
+def test_token_lff_parity_adversarial():
+    """token_lff == (len(t), ord(t[0]), ord(t[-1])) per token on 1-4 byte
+    UTF-8 widths, single chars, and a huge token (the O(bytes) path that
+    replaced the padded U-view)."""
+    from ocr_sam_project_ray.ops.textstats import flat_tokens, token_lff
+
+    texts = [
+        "a héllo \U0001F600x x\U0001F600 中文字 "
+        "\U0001D518ni \U0010FFFD q",
+        "Ω", "\x7fend",
+        "a" * 70000 + "\U0001D56B", "\U0001D56B" + "b" * 70000,
+    ]
+    col = pa.array(texts)
+    _dl, flat, _di = flat_tokens(col)
+    lens, first, last = token_lff(flat)
+    toks = [t for x in texts for t in tokenize(x)]
+    assert lens.tolist() == [len(t) for t in toks]
+    assert first.tolist() == [ord(t[0]) for t in toks]
+    assert last.tolist() == [ord(t[-1]) for t in toks]
+    # sliced / offset array path
+    sl = flat.slice(2, 5)
+    l2, f2, la2 = token_lff(sl)
+    assert l2.tolist() == lens[2:7].tolist()
+    assert f2.tolist() == first[2:7].tolist()
+    assert la2.tolist() == last[2:7].tolist()
