@@ -55,19 +55,22 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .textstats import tokenize
+from .textstats import flat_tokens, ngrams_from_flat, tokenize
 
 N_BUCKETS = 8192
 LLR_SCALE = 1_000_000  # micro-nats
 
 
 def doc_feature_counts(text: str | None) -> Counter:
-    """Hashed unigram+bigram bucket counts for one document."""
+    """Hashed unigram+bigram bucket counts for one document — the scalar
+    reference rendering (the batch path is _batch_buckets; they are
+    equality-tested in test_dsir)."""
     toks = tokenize(text)
     grams = toks + [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
     buckets: Counter = Counter()
@@ -82,6 +85,46 @@ def doc_feature_counts(text: str | None) -> Counter:
     return buckets
 
 
+def _batch_buckets(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(bucket, occ_doc, dl) for one batch: every unigram+bigram
+    occurrence's hashed bucket and its row index, vectorized. Gram
+    construction is the shared Arrow kernel (textstats.flat_tokens /
+    ngrams_from_flat — no per-row Python); md5 runs ONCE per distinct
+    gram in the batch (dictionary_encode collapses repeats — boilerplate
+    corpora hash far fewer grams than they contain)."""
+    dl, flat, doc_idx = flat_tokens(col)
+    bigrams, bdoc = ngrams_from_flat(flat, doc_idx, 2)
+    grams = pa.concat_arrays([
+        flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+        else flat,
+        bigrams,
+    ])
+    occ_doc = np.concatenate([doc_idx, bdoc])
+    if len(grams) == 0:
+        return np.zeros(0, np.int64), occ_doc, dl
+    enc = pc.dictionary_encode(grams)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_buckets = np.fromiter(
+        (
+            int(hashlib.md5(g).hexdigest()[:8], 16) % N_BUCKETS
+            for g in _dict_utf8(enc.dictionary)
+        ),
+        dtype=np.int64, count=len(enc.dictionary),
+    )
+    return dict_buckets[codes], occ_doc, dl
+
+
+def _dict_utf8(arr: pa.Array):
+    """Yield each dictionary entry as utf-8 bytes without building the
+    intermediate str: slice straight out of the Arrow data buffer."""
+    bufs = arr.buffers()
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], odt)[arr.offset: arr.offset + len(arr) + 1]
+    mv = memoryview(bufs[2])
+    for i in range(len(arr)):
+        yield bytes(mv[off[i]: off[i + 1]])
+
+
 def fit_models(
     ds: Dataset, text_col: str, target_filter_col: str,
     target_filter_value: str,
@@ -91,16 +134,16 @@ def fit_models(
     configure_data_context()
 
     def partial(batch: pa.Table) -> pa.Table:
-        tgt = np.zeros(N_BUCKETS, dtype=np.int64)
-        raw = np.zeros(N_BUCKETS, dtype=np.int64)
-        texts = batch[text_col].to_pylist()
-        flags = batch[target_filter_col].to_pylist()
-        for text, flag in zip(texts, flags):
-            counts = doc_feature_counts(text)
-            for b, c in counts.items():
-                raw[b] += c
-                if flag == target_filter_value:
-                    tgt[b] += c
+        buckets, occ_doc, _dl = _batch_buckets(batch[text_col])
+        raw = np.bincount(buckets, minlength=N_BUCKETS).astype(np.int64)
+        in_tgt = pc.fill_null(
+            pc.equal(batch[target_filter_col], target_filter_value), False
+        ).to_numpy(zero_copy_only=False)
+        in_tgt = np.asarray(in_tgt, dtype=bool)
+        tmask = in_tgt[occ_doc] if len(occ_doc) else np.zeros(0, bool)
+        tgt = np.bincount(
+            buckets[tmask], minlength=N_BUCKETS
+        ).astype(np.int64)
         return pa.table(
             {
                 "tgt": pa.array([tgt.tobytes()], pa.binary()),
@@ -150,23 +193,22 @@ def dsir_score(
 
     def score(batch: pa.Table) -> pa.Table:
         llr = ray.get(llr_ref)
-        ids = batch[id_col]
-        n_feats, scores = [], []
-        for text in batch[text_col].to_pylist():
-            counts = doc_feature_counts(text)
-            if counts:
-                b = np.fromiter(counts.keys(), dtype=np.int64,
-                                count=len(counts))
-                c = np.fromiter(counts.values(), dtype=np.int64,
-                                count=len(counts))
-                n_feats.append(int(c.sum()))
-                scores.append(int(np.dot(c, llr[b])))
-            else:
-                n_feats.append(0)
-                scores.append(0)
+        n_docs = batch.num_rows
+        buckets, occ_doc, dl = _batch_buckets(batch[text_col])
+        # n_feats per doc = unigrams + bigrams = dl + max(dl-1, 0)
+        n_feats = dl + np.maximum(dl - 1, 0)
+        scores = np.zeros(n_docs, dtype=np.int64)
+        if len(buckets):
+            # exact int64 segment sums: sort occurrences by doc (the
+            # unigram/bigram concat broke row-major order), reduceat
+            order = np.argsort(occ_doc, kind="stable")
+            od = occ_doc[order]
+            v = llr[buckets[order]]
+            starts = np.flatnonzero(np.r_[True, od[1:] != od[:-1]])
+            scores[od[starts]] = np.add.reduceat(v, starts)
         return pa.table(
             {
-                id_col: ids,
+                id_col: batch[id_col],
                 "n_feats": pa.array(n_feats, pa.int64()),
                 "dsir_score": pa.array(scores, pa.int64()),
             }

@@ -16,7 +16,8 @@ wide contract (ops/textstats.tokenize); gram = three tokens joined by one
 space (a plain string, so the SQL oracle builds the identical key).
 
 Scale shape:
-- TRAIN: per-batch ``Counter`` combiner (repeated boilerplate grams
+- TRAIN: per-batch vectorized combiner (flat Arrow trigrams → one
+  dictionary_encode + bincount; repeated boilerplate grams
   collapse before the shuffle) → one hash shuffle on the gram key →
   vectorized count sum → ``count >= min_count`` prune. min_count pruning
   is the standard LM-table bound: the surviving model is sized by the
@@ -43,9 +44,9 @@ surface.
 
 from __future__ import annotations
 
-from collections import Counter
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -53,7 +54,7 @@ import ray
 from ray.data import Dataset
 
 from ..context import configure_data_context
-from .textstats import tokenize
+from .textstats import flat_tokens, ngrams_from_flat, tokenize
 
 MIN_COUNT = 3
 # same bound family as line_dedup.BROADCAST_MAX_LINES / stages/dedup.py
@@ -75,14 +76,22 @@ def train_trigram_model(
     configure_data_context()
 
     def partial(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        for text in batch[text_col].to_pylist():
-            counts.update(doc_trigrams(text))
-        grams = list(counts.keys())
+        # vectorized combiner: flat trigrams (textstats.ngrams_from_flat)
+        # -> one dictionary_encode + one bincount per batch
+        _dl, flat, doc_idx = flat_tokens(batch[text_col])
+        grams, _gdoc = ngrams_from_flat(flat, doc_idx, 3)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(grams)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "gram": pa.array(grams, pa.string()),
-                "c": pa.array([counts[g] for g in grams], pa.int64()),
+                "gram": enc.dictionary,
+                "c": pa.array(
+                    np.bincount(codes, minlength=len(enc.dictionary)),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -110,18 +119,27 @@ def _score_broadcast(ds: Dataset, model_ref, id_col: str, text_col: str) -> Data
             model = ray.get(model_ref)
             _MODEL_CACHE.clear()
             _MODEL_CACHE[model_ref.hex()] = model
-        n_grams, n_hits, hit_sum = [], [], []
-        for text in batch[text_col].to_pylist():
-            grams = doc_trigrams(text)
-            h = s = 0
-            for g in grams:
-                c = model.get(g)
-                if c is not None:
-                    h += 1
-                    s += c
-            n_grams.append(len(grams))
-            n_hits.append(h)
-            hit_sum.append(s)
+        m_grams, m_c = model
+        n_docs = batch.num_rows
+        dl, flat, doc_idx = flat_tokens(batch[text_col])
+        grams, gdoc = ngrams_from_flat(flat, doc_idx, 3)
+        n_grams = np.maximum(dl - 2, 0)
+        n_hits = np.zeros(n_docs, dtype=np.int64)
+        hit_sum = np.zeros(n_docs, dtype=np.int64)
+        if len(grams):
+            # one hash lookup against the broadcast model table
+            pos = pc.fill_null(
+                pc.index_in(grams, value_set=m_grams), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = pos >= 0
+            gh = gdoc[hit]
+            if gh.size:
+                n_hits = np.bincount(gh, minlength=n_docs)
+                # gdoc is non-decreasing (row-major grams): exact int64
+                # segment sums via reduceat — no float accumulation
+                cv = m_c[pos[hit]]
+                starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+                hit_sum[gh[starts]] = np.add.reduceat(cv, starts)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -142,28 +160,53 @@ def _score_distributed(
     one doc-key repartition merges them with the per-doc base rows."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        ids_col = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray
+        ) else batch[id_col]
         id_type = batch.schema.field(id_col).type
-        o_id, o_gram, o_mult = [], [], []
-        base_n = []
-        for did, text in zip(ids, batch[text_col].to_pylist()):
-            grams = Counter(doc_trigrams(text))
-            base_n.append(sum(grams.values()))
-            for g, m in grams.items():
-                o_id.append(did)
-                o_gram.append(g)
-                o_mult.append(m)
+        n_rows = batch.num_rows
+        # vectorized per-(doc, gram) multiplicities: flat trigrams ->
+        # dictionary codes -> one np.unique over int64 composite keys
+        # (the textstats.doc_token_counts idiom, lifted to trigrams)
+        dl, flat, doc_idx = flat_tokens(batch[text_col])
+        grams, gdoc = ngrams_from_flat(flat, doc_idx, 3)
+        if len(grams):
+            enc = pc.dictionary_encode(grams)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            ndict = len(enc.dictionary)
+            uk, mult = np.unique(gdoc * ndict + codes, return_counts=True)
+            pair_doc = uk // ndict
+            o_gram = enc.dictionary.take(pa.array(uk % ndict, pa.int64()))
+            o_id = ids_col.take(pa.array(pair_doc, pa.int64()))
+            o_mult = mult.astype(np.int64)
+        else:
+            o_gram = pa.array([], pa.string())
+            o_id = pa.array([], id_type)
+            o_mult = np.zeros(0, np.int64)
+        base_n = np.maximum(dl - 2, 0)
         # side 0 = per-(doc, gram) multiplicities; side 2 = per-doc base
         # rows (n_grams totals). Base rows ride the same union under a
         # per-doc routing key ('\\x00'+id — the gram column is ONLY a
         # shuffle key for them, side disambiguates roles) so they spread
         # evenly instead of piling one hot partition.
+        base_gram = pc.binary_join_element_wise(
+            pa.array(["\x00"] * n_rows, pa.string()),
+            pc.cast(ids_col, pa.string()), ""
+        )
         return pa.table(
             {
-                "doc": pa.array(o_id + ids, id_type),
-                "gram": pa.array(o_gram + [f"\x00{d}" for d in ids], pa.string()),
-                "v": pa.array(o_mult + base_n, pa.int64()),
-                "side": pa.array([0] * len(o_id) + [2] * len(ids), pa.int8()),
+                "doc": pa.concat_arrays([o_id.combine_chunks() if isinstance(
+                    o_id, pa.ChunkedArray) else o_id, ids_col]),
+                "gram": pa.concat_arrays([
+                    o_gram.combine_chunks() if isinstance(
+                        o_gram, pa.ChunkedArray) else o_gram, base_gram]),
+                "v": pa.array(np.concatenate([o_mult, base_n]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate([np.zeros(len(o_mult), np.int8),
+                                    np.full(n_rows, 2, np.int8)]), pa.int8()
+                ),
             }
         )
 
@@ -259,12 +302,24 @@ def score_trigram_model(
         plan == "auto" and model_ds.count() <= broadcast_max_grams
     )
     if use_broadcast:
-        # bounded by contract: pruned model rows <= broadcast_max_grams
-        tbls = [pa.table(b) for b in model_ds.iter_batches(batch_format="pyarrow")]
-        model = {}
-        for t in tbls:
-            model.update(zip(t["gram"].to_pylist(), t["c"].to_pylist()))
-        return _score_broadcast(ds, ray.put(model), id_col, text_col)
+        # bounded by contract: pruned model rows <= broadcast_max_grams.
+        # Shipped as (gram Arrow array, c int64 vector) — index_in-ready,
+        # no Python dict materializes anywhere
+        g_parts, c_parts = [], []
+        for b in model_ds.iter_batches(batch_format="pyarrow"):
+            g_parts.append(pa.table(b)["gram"].combine_chunks())
+            c_parts.append(
+                pa.table(b)["c"].to_numpy(zero_copy_only=False)
+            )
+        m_grams = (
+            pa.concat_arrays(g_parts) if g_parts
+            else pa.array([], pa.string())
+        )
+        m_c = (
+            np.concatenate(c_parts).astype(np.int64) if c_parts
+            else np.zeros(0, np.int64)
+        )
+        return _score_broadcast(ds, ray.put((m_grams, m_c)), id_col, text_col)
     return _score_distributed(ds, model_ds, id_col, text_col, num_partitions)
 
 

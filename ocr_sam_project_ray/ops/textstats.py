@@ -97,6 +97,30 @@ def doc_token_counts(
     return pair_doc, pair_token, counts.astype(np.int64), dl
 
 
+def ngrams_from_flat(
+    flat, doc_idx: np.ndarray, n: int, sep: str = " "
+) -> tuple["pa.Array", np.ndarray]:
+    """Flat token n-grams from flat_tokens output: returns ``(grams,
+    gdoc)`` where ``grams[j]`` is ``sep``-joined tokens
+    ``flat[j..j+n-1]`` RESTRICTED to windows lying wholly inside one row
+    (``doc_idx[j] == doc_idx[j+n-1]`` — flat is row-major so equal
+    endpoints imply an equal interior) and ``gdoc[j]`` is that row.
+    Exact parity with the per-row ``[' '.join(toks[i:i+n]) ...]``
+    rendering; one ``binary_join_element_wise`` over n shifted slices —
+    no Python strings. gdoc is non-decreasing (callers use reduceat
+    segment sums on it)."""
+    ln = len(flat)
+    if ln < n:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    m = ln - n + 1
+    parts = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, sep)
+    valid = doc_idx[:m] == doc_idx[n - 1:]
+    if valid.all():
+        return grams, doc_idx[:m]
+    return grams.filter(pa.array(valid)), doc_idx[:m][valid]
+
+
 def _single_cp(arr) -> np.ndarray:
     """Vectorized UTF-8 decode of an array of SINGLE-codepoint strings
     (each element 1–4 bytes) straight from the Arrow buffers — no Python

@@ -110,3 +110,26 @@ def test_partition_invariant():
     b = (dsir_score(ds.repartition(7)).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_batch_buckets_matches_scalar_reference():
+    """_batch_buckets per-doc bucket multiset == doc_feature_counts per
+    row, on nulls/empties/unicode/repeats (the vectorized-vs-scalar
+    equality the _batch_buckets docstring promises)."""
+    from collections import Counter
+
+    from ocr_sam_project_ray.ops.dsir import _batch_buckets
+
+    texts = [
+        "the cat sat on the mat the cat", "", None, "   ",
+        "uno dos tres", "a", "x y", "emoji \U0001F600 tail \U0001F600 tail",
+    ]
+    buckets, occ_doc, dl = _batch_buckets(pa.array(texts, pa.string()))
+    got = [Counter() for _ in texts]
+    for b, d in zip(buckets.tolist(), occ_doc.tolist()):
+        got[d][b] += 1
+    for i, t in enumerate(texts):
+        assert got[i] == doc_feature_counts(t), i
+    from ocr_sam_project_ray.ops.textstats import tokenize
+
+    assert dl.tolist() == [len(tokenize(t)) for t in texts]
