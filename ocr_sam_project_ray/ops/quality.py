@@ -11,9 +11,11 @@ expressed in integer math, e.g. "mean word length in [3, 10]" becomes
 ``3*n_words <= sum_word_len <= 10*n_words``.
 
 Scale shape: one stateless vectorized ``map_batches`` pass — no shuffle,
-no state, no driver work; the per-doc kernel is C-speed str ops + one
-``Counter`` over the token list. Filtering (``filter_quality``) happens in
-the same batch that scored it, so rejected payloads never travel.
+no state, no driver work; the per-batch kernel is Arrow split/regex/count
+kernels plus bincount/reduceat folds (``_metrics_batch`` — no Python
+strings; ``quality_row`` remains the scalar reference, equality-pinned).
+Filtering (``filter_quality``) happens in the same batch that scored it,
+so rejected payloads never travel.
 
 Metric contract (all on ``coalesce(text, '')``):
 - lines  = text.split("\\n")           (so even "" has 1 line)
@@ -45,9 +47,11 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from .textstats import STOPWORDS, tokenize
+from .textstats import STOPWORDS, flat_tokens, tokenize
 
 _ALPHA = re.compile(r"[A-Za-z]")
 _BULLET = re.compile(r"^[ \t]*[-*\u2022]")
@@ -109,13 +113,131 @@ def _passes(r: dict) -> bool:
     )
 
 
+def _seg_sum_int(doc_idx: np.ndarray, vals: np.ndarray, n: int) -> np.ndarray:
+    """Exact int64 per-row sums over a NON-DECREASING row index (reduceat
+    segments — no float accumulation)."""
+    out = np.zeros(n, dtype=np.int64)
+    if doc_idx.size:
+        starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+        out[doc_idx[starts]] = np.add.reduceat(
+            vals.astype(np.int64), starts
+        )
+    return out
+
+
+def _pair_stats(
+    flat, doc_idx: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_distinct, max_multiplicity) per row of a flat string column —
+    one dictionary_encode + one np.unique over composite keys (the
+    textstats.doc_token_counts idiom)."""
+    distinct = np.zeros(n, dtype=np.int64)
+    mx = np.zeros(n, dtype=np.int64)
+    if len(flat) == 0:
+        return distinct, mx
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ndict = len(enc.dictionary)
+    uk, counts = np.unique(doc_idx * ndict + codes, return_counts=True)
+    pair_doc = (uk // ndict).astype(np.int64)
+    distinct = np.bincount(pair_doc, minlength=n).astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, pair_doc[1:] != pair_doc[:-1]])
+    mx[pair_doc[starts]] = np.maximum.reduceat(counts, starts)
+    return distinct, mx
+
+
+_STOP_ARR = pa.array(sorted(_STOP_EN), pa.string())
+
+
+def _metrics_batch(col) -> dict[str, np.ndarray]:
+    """All 11 integer metrics for one batch, fully vectorized — Arrow
+    split/regex/count kernels plus bincount/reduceat folds; no Python
+    strings in the hot path. Exact parity with quality_row is pinned by
+    test_quality (nulls, unicode whitespace, bullets, ellipses). One
+    documented edge: token lowercasing is ``pc.utf8_lower`` —
+    non-context-sensitive Unicode case mapping, the same utf8proc
+    mapping DuckDB's ``lower()`` uses, so the ORACLE agrees exactly;
+    Python's ``str.lower()`` (quality_row) differs only on
+    context-sensitive mappings (Greek final sigma), which the engine's
+    corpora never hit and the pinned test documents."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    filled = pc.fill_null(col, "")
+    # --- line metrics ---
+    la = pc.split_pattern(filled, "\n")
+    n_lines = pc.list_value_length(la).to_numpy().astype(np.int64)
+    flat_lines = pc.list_flatten(la)
+    line_doc = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+    n_distinct_lines, _ = _pair_stats(flat_lines, line_doc, n)
+    bullet = pc.match_substring_regex(
+        flat_lines, r"^[ \t]*[-*•]"
+    ).to_numpy(zero_copy_only=False)
+    ellipsis_l = pc.match_substring_regex(
+        flat_lines, r"(\.\.\.|…)[ \t]*$"
+    ).to_numpy(zero_copy_only=False)
+    n_bullet = np.bincount(line_doc[bullet], minlength=n).astype(np.int64)
+    n_ellipsis = np.bincount(
+        line_doc[ellipsis_l], minlength=n
+    ).astype(np.int64)
+    # --- word metrics ---
+    dl, flat, doc_idx = flat_tokens(col)
+    wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_word_len = _seg_sum_int(doc_idx, wlens, n)
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = np.bincount(doc_idx[alpha], minlength=n).astype(np.int64)
+    lflat = pc.utf8_lower(flat)
+    _, max_word_count = _pair_stats(lflat, doc_idx, n)
+    stop_hit = pc.is_in(lflat, value_set=_STOP_ARR).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.bincount(doc_idx[stop_hit], minlength=n).astype(np.int64)
+    # --- symbol metrics (left-to-right non-overlapping, like str.count) ---
+    n_hash = pc.count_substring(filled, "#").to_numpy().astype(np.int64)
+    n_ell_sym = pc.count_substring(filled, "...").to_numpy().astype(
+        np.int64
+    )
+    return {
+        "n_lines": n_lines,
+        "n_distinct_lines": n_distinct_lines,
+        "n_words": dl,
+        "sum_word_len": sum_word_len,
+        "n_alpha_words": n_alpha,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ellipsis,
+        "n_hash_sym": n_hash,
+        "n_ellipsis_sym": n_ell_sym,
+        "max_word_count": max_word_count,
+        "n_stop_hits": n_stop,
+    }
+
+
+def _passes_vec(m: dict[str, np.ndarray]) -> np.ndarray:
+    """Vectorized _passes over the metric vectors (same R1–R10)."""
+    nw, nl = m["n_words"], m["n_lines"]
+    return (
+        (nw >= 50) & (nw <= 100000)
+        & (3 * nw <= m["sum_word_len"]) & (m["sum_word_len"] <= 10 * nw)
+        & (10 * m["n_alpha_words"] >= 8 * nw)
+        & (10 * m["n_bullet_lines"] <= 9 * nl)
+        & (10 * m["n_ellipsis_lines"] <= 3 * nl)
+        & (10 * m["n_hash_sym"] <= nw)
+        & (10 * m["n_ellipsis_sym"] <= nw)
+        & (10 * (nl - m["n_distinct_lines"]) <= 3 * nl)
+        & (10 * m["max_word_count"] <= 2 * nw)
+        & (m["n_stop_hits"] >= 2)
+    )
+
+
 def quality_batch(batch: pa.Table, id_col: str = "doc_id",
                   text_col: str = "text") -> pa.Table:
-    rows = [quality_row(t) for t in batch.column(text_col).to_pylist()]
+    m = _metrics_batch(batch.column(text_col))
     cols: dict = {id_col: batch.column(id_col)}
     for name in QUALITY_COLUMNS:
-        cols[name] = pa.array([r[name] for r in rows], pa.int64())
-    cols["gopher_pass"] = pa.array([r["gopher_pass"] for r in rows], pa.bool_())
+        cols[name] = pa.array(m[name], pa.int64())
+    cols["gopher_pass"] = pa.array(_passes_vec(m), pa.bool_())
     return pa.table(cols)
 
 
@@ -131,9 +253,7 @@ def filter_quality(ds, *, text_col: str = "text"):
     scoring batch — rejected payloads never leave the task."""
 
     def keep(batch: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [_passes(quality_row(t)) for t in batch.column(text_col).to_pylist()]
-        )
+        mask = pa.array(_passes_vec(_metrics_batch(batch.column(text_col))))
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")

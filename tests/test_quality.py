@@ -101,3 +101,33 @@ def test_corpus_has_variance(sf_dir="/root/testdata/sf0.001"):
     scored = score_quality(ds).to_pandas()
     frac = scored.gopher_pass.mean()
     assert 0.05 < frac < 0.95, frac
+
+
+def test_metrics_batch_matches_quality_row():
+    """Vectorized _metrics_batch == scalar quality_row on adversarial
+    inputs (nulls, unicode bullets/ellipses, hash/dot runs, dup lines,
+    case-mapping probes)."""
+    from ocr_sam_project_ray.ops.quality import (
+        QUALITY_COLUMNS, _metrics_batch, _passes_vec, quality_row,
+    )
+
+    texts = [
+        None, "", "   ", "short text",
+        "- bullet one\n* bullet two\n• three\n\tnot -\n  - yes",
+        "ends...\nends… \nno end .. x\ntrail... ",
+        "# #hash ### words " * 30,
+        ("the quick brown fox jumps over the lazy dog and then it "
+         "runs away for a while " * 10)
+        + "\nrepeat line\nrepeat line\nrepeat line",
+        "ΑΣ σ Σ İ ß",
+        "dup dup dup DUP Dup",
+        "word " * 60,
+        "....... ...... .. # ## #",
+    ]
+    m = _metrics_batch(pa.array(texts, pa.string()))
+    passes = _passes_vec(m)
+    for i, t in enumerate(texts):
+        r = quality_row(t)
+        for c in QUALITY_COLUMNS:
+            assert int(m[c][i]) == r[c], (i, c, t)
+        assert bool(passes[i]) == r["gopher_pass"], (i, t)
