@@ -1231,6 +1231,47 @@ def _q_events_time_delta(sf_dir: str):
     )
 
 
+def _q_events_range_window(sf_dir: str):
+    """TIME-based RANGE trailing window (ops/window.py): per-user 1-hour
+    sliding cents sum, ties-are-peers frame semantics; completes the
+    window family (ROWS / hopping / LAG / RANGE). Op returns the
+    Dataset; wrapper collects for the bounded oracle compare."""
+    from ocr_sam_project_ray.ops.window import events_range_window
+
+    return (
+        events_range_window(sf_dir)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def _q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier discovery (ops/linkgraph.py): distinct absolute
+    link targets not present as corpus urls, with in-link counts — the
+    incremental crawler's scheduler feed. The corpus pages are decorated
+    with a deterministic set of already-crawled frontier urls (empty
+    payloads: contribute to the crawled set, never to the link counts)
+    so the anti-join provably DROPS rows on driver data; the oracle
+    appends the same literals to its crawled set."""
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_sam_project_ray.ops.linkgraph import (
+        crawl_frontier, frontier_decoration_urls,
+    )
+
+    ds = _pages_full(sf_dir)
+    decor = frontier_decoration_urls()
+    extra = ray.data.from_arrow(pa.table({
+        "url": pa.array(decor, pa.string()),
+        "html": pa.array([b""] * len(decor), pa.binary()),
+        "text": pa.array([""] * len(decor), pa.string()),
+    }))
+    return (
+        crawl_frontier(ds.union(extra))
+        .to_pandas().sort_values("target_url").reset_index(drop=True)
+    )
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid components (ops/centroids.py) —
     integer-ppm sums + counts instead of a float mean so the contract
@@ -2062,6 +2103,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_float": _q_bm25_topk_float,    # rows-only (float contract)
         "cdc_chunk_stats": _q_cdc_chunk_stats,    # rows-only (rolling hash)
         "compression_signal": _q_compression_signal,  # rows-only (zlib)
+        # * events_range_window: TIME-based RANGE trailing window
+        #   (ops/window.py), ties-are-peers frame; full DuckDB oracle.
+        "events_range_window": _q_events_range_window,
+        # * crawl_frontier: absolute link targets not yet crawled
+        #   (ops/linkgraph.py), decorated crawled-set fixture; full
+        #   DuckDB NOT-EXISTS oracle.
+        "crawl_frontier": _q_crawl_frontier,
     }
 
 
@@ -2080,6 +2128,8 @@ def oracle_sql() -> dict[str, str]:
     _url_canon, _url_host, _url_ntr = sql_canonicalize("raw_url")
     from ocr_sam_project_ray.ops.linkgraph import (
         sql_anchor_terms as _sql_anchor_terms,
+        sql_crawl_frontier as _sql_crawl_frontier,
+        frontier_decoration_urls as _frontier_decoration_urls,
         sql_host_linkgraph as _sql_host_linkgraph,
         sql_host_pagerank as _sql_host_pagerank,
     )
@@ -2195,6 +2245,8 @@ def oracle_sql() -> dict[str, str]:
         "host_linkgraph": _sql_host_linkgraph(pages),
         "host_pagerank": _sql_host_pagerank(pages, 5),
         "anchor_terms": _sql_anchor_terms(pages),
+        "crawl_frontier": _sql_crawl_frontier(
+            pages, _frontier_decoration_urls()),
         "host_quota": _sql_host_quota.format(pages=pages, n=_HOST_QUOTA_N),
         "lm_buckets": _sql_lm_buckets(),
         "url_canonical": f"""
@@ -2730,6 +2782,7 @@ def _ops_oracles() -> dict[str, str]:
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "events_funnel": _funnel_oracle(),
         "events_moving_sum": _moving_sum_oracle(),
+        "events_range_window": _range_window_oracle(),
         "events_rollup": _rollup_oracle(),
         "hashclf_score": _hashclf_oracle(),
         "doc_embeddings": _doc_embeddings_oracle(),
@@ -2986,6 +3039,12 @@ def _moving_sum_oracle() -> str:
     from ocr_sam_project_ray.ops.window import SQL_EVENTS_MOVING_SUM
 
     return SQL_EVENTS_MOVING_SUM
+
+
+def _range_window_oracle() -> str:
+    from ocr_sam_project_ray.ops.window import SQL_EVENTS_RANGE_WINDOW
+
+    return SQL_EVENTS_RANGE_WINDOW
 
 
 def _rollup_oracle() -> str:

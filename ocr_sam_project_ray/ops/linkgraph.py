@@ -785,3 +785,152 @@ def sql_anchor_terms(pages_glob: str) -> str:
         SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n
         FROM terms GROUP BY dst_host, term ORDER BY dst_host, term
     """
+
+
+# --------------------------------------------------------------------------
+# Crawl-frontier discovery — "what the crawl has seen links to but not fetched"
+# --------------------------------------------------------------------------
+
+
+def crawl_frontier(ds: Dataset, num_partitions: int = 4) -> Dataset:
+    """pages → Dataset(target_url, n_refs): distinct ABSOLUTE link
+    targets that are NOT already a corpus url — the frontier every
+    incremental crawler feeds its scheduler (the reference's
+    S3-event-driven ingest is the fetch side of exactly this loop,
+    src/document_processor/app.py:63-84; frontier discovery is its
+    web-scale inverse).
+
+    Contract (mirrored by sql_crawl_frontier):
+    - the same well-formed-HTML gate + ``href="…"`` extraction as
+      extract_links; only ABSOLUTE hrefs (``^https?://``) are frontier
+      candidates — relative hrefs resolve to the page's own host, which
+      is by definition already crawled (documented divergence: no
+      path-level resolution of relative hrefs);
+    - ``n_refs`` counts every href occurrence corpus-wide (the
+      scheduler's in-link priority signal);
+    - a target survives iff NO corpus row has ``url == target_url``
+      (exact string anti-join; compose with ops/urltools.canonicalize_urls
+      upstream when crawl and link namespaces need normalizing).
+
+    Scale shape: both flows are payload-free (url string + int64).
+    Stage 1 is a per-batch Arrow group-by combiner over extracted
+    targets; stage 2 one (target_url) groupby; stage 3 a tag-union
+    co-partition on the url key (targets role=0, corpus urls role=1)
+    with a partition-local vectorized ``is_in`` anti probe — the
+    ops/incremental.py semi-join shape with the polarity flipped.
+    """
+    configure_data_context()
+
+    def targets(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(pc.cast(batch["text"], pa.string()), ""),
+            pc.equal(pc.binary_slice(batch["html"], 0, 9), b"<!DOCTYPE"),
+        )
+        batch = batch.filter(pc.fill_null(keep, False))
+        empty = pa.table({"target_url": pa.array([], pa.string()),
+                          "n_refs": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        html = pc.cast(batch["html"], pa.string()).to_pylist()
+        urls: list[str] = []
+        for h in html:
+            for href in _HREF_C.findall(h):
+                if _ABS_C.match(href):
+                    urls.append(href)
+        if not urls:
+            return empty
+        t = pa.table({"target_url": pa.array(urls, pa.string())})
+        agg = t.group_by(["target_url"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["target_url", "n_refs"])
+
+    counts = (
+        ds.map_batches(targets, batch_format="pyarrow", batch_size=None)
+        .groupby("target_url", num_partitions=num_partitions)
+        .aggregate(Sum("n_refs", alias_name="n_refs"))
+    )
+
+    def tag_target(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": batch["target_url"],
+            "n_refs": batch["n_refs"],
+            "role": pa.array(np.zeros(batch.num_rows, np.int8)),
+        })
+
+    def tag_crawled(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pc.cast(batch["url"], pa.string()),
+            "n_refs": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "role": pa.array(np.ones(batch.num_rows, np.int8)),
+        })
+
+    tagged = counts.map_batches(
+        tag_target, batch_format="pyarrow", batch_size=None
+    ).union(
+        ds.select_columns(["url"]).map_batches(
+            tag_crawled, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        is_target = pc.equal(batch["role"], 0)
+        crawled = batch.filter(pc.invert(is_target))["u"]
+        cand = batch.filter(is_target)
+        seen = pc.is_in(cand["u"], value_set=pc.unique(crawled))
+        out = cand.filter(pc.invert(seen))
+        return pa.table({"target_url": out["u"], "n_refs": out["n_refs"]})
+
+    return tagged.repartition(
+        num_blocks=num_partitions, keys=["u"]
+    ).map_batches(anti, batch_format="pyarrow", batch_size=None)
+
+
+def frontier_decoration_urls() -> list[str]:
+    """Deterministic 'already crawled' frontier urls for the driver
+    query's decoration fixture: low portal numbers x every nav word —
+    the corpus footer's cross-host targets are quadratically skewed
+    toward low portals, so a healthy subset of these literals always
+    collides with real link targets and the anti-join provably drops
+    rows (the ops/urltools.py decoration pattern)."""
+    from ..sources.synthetic import _NAV_LINKS
+
+    return [
+        f"https://portal{j}.example.pa/{w.lower()}"
+        for j in range(5) for w in _NAV_LINKS
+    ]
+
+
+def sql_crawl_frontier(pages_glob: str, extra_urls: list[str] = ()) -> str:
+    """DuckDB recompute of crawl_frontier over the same parquet glob;
+    ``extra_urls`` appends literal urls to the crawled set (the driver
+    query's decoration fixture, so the anti-join provably drops rows)."""
+    extra = ""
+    if extra_urls:
+        vals = ", ".join("(" + _sql_str(u) + ")" for u in extra_urls)
+        extra = f" UNION ALL SELECT url FROM (VALUES {vals}) v(url)"
+    return f"""
+        WITH wf AS (
+          SELECT decode(html) AS h
+          FROM read_parquet('{pages_glob}')
+          WHERE text <> ''
+            AND starts_with(CAST(html AS VARCHAR), '<!DOCTYPE')
+        ),
+        t AS (
+          SELECT unnest(regexp_extract_all(h, 'href="([^"]+)"', 1)) AS href
+          FROM wf
+        ),
+        f AS (
+          SELECT href AS target_url, CAST(count(*) AS BIGINT) AS n_refs
+          FROM t WHERE regexp_matches(href, '^https?://')
+          GROUP BY href
+        ),
+        crawled AS (
+          SELECT url FROM read_parquet('{pages_glob}'){extra}
+        )
+        SELECT target_url, n_refs FROM f
+        WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = f.target_url)
+        ORDER BY target_url
+    """
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

@@ -154,6 +154,114 @@ def events_time_delta(
     ).map_batches(lag, batch_format="pyarrow", batch_size=None)
 
 
+RANGE_HOURS = 1
+_RANGE_US = RANGE_HOURS * 3_600 * 1_000_000
+
+
+def events_range_window(
+    sf_dir: str,
+    horizon_us: int = _RANGE_US,
+    num_partitions: int = 4,
+    max_group_rows: Optional[int] = None,
+    cap_stats=None,
+) -> Dataset:
+    """Per-user TIME-based trailing window sum — the RANGE flavor
+    (``SUM(...) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)``), completing the window
+    family next to the ROWS window (events_moving_sum), the hopping
+    window (relational.events_hopping) and LAG (events_time_delta).
+
+    RANGE frame semantics (mirrored by DuckDB): the frame for row i is
+    every same-user row with ``ts in [ts_i - horizon, ts_i]`` — ties on
+    ts are PEERS, so equal-ts rows all receive the sum over the full
+    peer run regardless of their (ts, event_id) tie order. The kernel is
+    fully vectorized across ALL groups of a partition: one lexsort, one
+    cumsum, and two global ``np.searchsorted`` calls over a composite
+    (segment, ts) key whose per-segment stride exceeds span + horizon,
+    so a needle can never cross into a neighboring segment's key range.
+    Values are the engine-wide integer-cents contract (np_cents).
+
+    One output row per event: (event_id, user_id, win_value_cents).
+    Returns the Dataset (unbounded at scale) — callers stream it on.
+    """
+    configure_data_context()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "win_value_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def windowed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        s, starts, counts = sorted_segments(
+            batch,
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")],
+        )
+        s, starts, counts = filter_overflow_segments(
+            s, starts, counts, max_group_rows, cap_stats
+        )
+        n = s.num_rows
+        if n == 0:
+            return empty
+        cents = np_cents(s["value"].to_numpy(zero_copy_only=False))
+        cum = cents.cumsum()
+        us = pc.cast(s["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t0 = int(us.min())
+        span = int(us.max()) - t0
+        stride = span + horizon_us + 2
+        n_seg = len(starts)
+        if n_seg * stride >= 2**62:
+            # composite key would overflow int64 — impossible for any
+            # real event-log partition (needs ~4e18 us·segments), loud
+            # rather than silent wraparound
+            raise ValueError(
+                f"events_range_window composite key overflow: "
+                f"{n_seg} segments x stride {stride}"
+            )
+        seg_id = np.repeat(np.arange(n_seg, dtype=np.int64), counts)
+        key = seg_id * stride + (us - t0)
+        # frame start: first same-segment row with ts >= ts_i - horizon.
+        # The needle key - horizon stays above the previous segment's max
+        # key (stride > span + horizon), so the insertion point cannot
+        # leave the segment.
+        lo = np.searchsorted(key, key - horizon_us, side="left")
+        # frame end: past the current row's full peer run (ties included)
+        hi = np.searchsorted(key, key, side="right")
+        base = np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        win = cum[hi - 1] - base
+        return pa.table(
+            {
+                "event_id": s["event_id"],
+                "user_id": s["user_id"],
+                "win_value_cents": pa.array(win, pa.int64()),
+            }
+        )
+
+    return ds.repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(windowed, batch_format="pyarrow", batch_size=None)
+
+
+SQL_EVENTS_RANGE_WINDOW = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL {RANGE_HOURS} HOUR PRECEDING
+                        AND CURRENT ROW)
+            AS BIGINT) AS win_value_cents
+FROM events ORDER BY event_id
+"""
+
+
 SQL_EVENTS_TIME_DELTA = """
 SELECT event_id, user_id,
        CAST(coalesce(date_diff('microsecond',

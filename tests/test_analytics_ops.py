@@ -290,3 +290,71 @@ def test_rollup_and_cube_empty_input(tmp_path):
     cube = events_cube(sf).to_pandas()
     assert len(cube) == 1
     assert cube.iloc[0].tolist() == ["ALL", "ALL", 0, 0]
+
+
+# --------------------------------------------------------------------------
+# events_range_window — TIME-based RANGE trailing window
+# --------------------------------------------------------------------------
+
+def test_range_window_hand_case(tmp_path):
+    from ocr_sam_project_ray.ops.window import events_range_window
+
+    rows = [
+        (1, "2024-01-01 00:00", 1, "view", 1.00),
+        (2, "2024-01-01 00:30", 1, "view", 2.00),
+        # exactly 1h after e1 -> the RANGE frame is CLOSED on the left,
+        # so e1 is still inside
+        (3, "2024-01-01 01:00", 1, "view", 4.00),
+        # far past every prior event -> frame is just itself
+        (4, "2024-01-01 02:30", 1, "view", 8.00),
+        # ties are PEERS: both rows get the full peer-run sum
+        (10, "2024-01-01 00:00", 2, "view", 1.00),
+        (11, "2024-01-01 00:00", 2, "view", 2.00),
+        # .5-cent boundary: half away from zero like DuckDB round()
+        (20, "2024-01-01 00:00", 3, "view", 0.105),
+    ]
+    sf = _events_fixture(tmp_path, rows)
+    out = (
+        events_range_window(sf)
+        .to_pandas().set_index("event_id")["win_value_cents"]
+    )
+    assert list(out.loc[[1, 2, 3, 4]]) == [100, 300, 700, 800]
+    assert out.loc[10] == 300 and out.loc[11] == 300
+    assert out.loc[20] == 11
+
+
+def test_range_window_matches_duckdb_fixture(tmp_path):
+    from ocr_sam_project_ray.ops.window import (
+        SQL_EVENTS_RANGE_WINDOW, events_range_window,
+    )
+
+    # dense tie/boundary mix, negative values included
+    rows, eid = [], 0
+    for u in range(1, 5):
+        for k in range(12):
+            eid += 1
+            mins = (k * 17 + u * 3) % 90
+            rows.append(
+                (eid, f"2024-01-01 0{mins // 60}:{mins % 60:02d}", u,
+                 "view", (k - 5) * 1.235)
+            )
+    sf = _events_fixture(tmp_path, rows)
+    got = _norm(events_range_window(sf).to_pandas())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf}/events.parquet')")
+    exp = _norm(con.sql(SQL_EVENTS_RANGE_WINDOW).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_range_window_matches_duckdb_corpus():
+    from ocr_sam_project_ray.ops.window import (
+        SQL_EVENTS_RANGE_WINDOW, events_range_window,
+    )
+
+    got = _norm(events_range_window(SF).to_pandas())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')")
+    exp = _norm(con.sql(SQL_EVENTS_RANGE_WINDOW).df())
+    pd.testing.assert_frame_equal(got, exp)

@@ -6,6 +6,8 @@ DuckDB oracle parity of both renderers, and the max_hosts guard."""
 import duckdb
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
+import pandas as pd
 import pytest
 
 import ray.data
@@ -227,3 +229,102 @@ def test_anchor_terms(tmp_path):
     assert got.equals(exp[["dst_host", "term", "n"]])
     # semantic pin: b.example's inbound anchors say 'b' twice
     assert got.set_index(["dst_host", "term"]).loc[("b.example", "b"), "n"] == 2
+
+
+# --------------------------------------------------------------------------
+# crawl_frontier — absolute link targets not yet crawled
+# --------------------------------------------------------------------------
+
+def _frontier_df(tbl):
+    from ocr_sam_project_ray.ops.linkgraph import crawl_frontier
+
+    ds = ray.data.from_arrow(tbl)
+    return (
+        crawl_frontier(ds)
+        .to_pandas().sort_values("target_url").reset_index(drop=True)
+    )
+
+
+def test_crawl_frontier_semantics():
+    tbl = _pages_table()
+    # one target is ALSO a crawled url -> anti-join must drop it
+    crawled_target = pa.table({
+        "url": pa.array(["https://b.example/x"], pa.string()),
+        "html": pa.array([b""], pa.binary()),
+        "text": pa.array([""], pa.string()),
+    })
+    df = _frontier_df(pa.concat_tables([tbl, crawled_target]))
+    got = dict(zip(df["target_url"], df["n_refs"]))
+    # absolute targets from well-formed pages only; the malformed /
+    # PDF / bad-utf8 rows contribute nothing; b.example/x dropped
+    assert got == {
+        "https://c.example/y": 1,
+        "https://b.example/z": 1,
+        "http://a.example/w": 1,
+    }
+
+
+def test_crawl_frontier_counts_every_occurrence():
+    extra = pa.table({
+        "url": pa.array(["https://d.example/p"], pa.string()),
+        "html": pa.array(
+            [b'<!DOCTYPE html><a href="https://b.example/x">b</a>'
+             b'<a href="https://b.example/x">b again</a>'],
+            pa.binary()),
+        "text": pa.array(["ok"], pa.string()),
+    })
+    df = _frontier_df(pa.concat_tables([_pages_table(), extra]))
+    got = dict(zip(df["target_url"], df["n_refs"]))
+    assert got["https://b.example/x"] == 3  # p1 + twice from d.example
+
+
+def test_crawl_frontier_sql_parity(tmp_path):
+    import duckdb
+
+    from ocr_sam_project_ray.ops.linkgraph import sql_crawl_frontier
+
+    p = tmp_path / "pages.parquet"
+    pq.write_table(_pages_table(), str(p))
+    got = _frontier_df(_pages_table())
+    exp = duckdb.sql(sql_crawl_frontier(str(p))).df()
+    got["n_refs"] = got["n_refs"].astype("int64")
+    exp["n_refs"] = exp["n_refs"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+
+
+def test_crawl_frontier_sql_extra_urls_drop(tmp_path):
+    import duckdb
+
+    from ocr_sam_project_ray.ops.linkgraph import sql_crawl_frontier
+
+    p = tmp_path / "pages.parquet"
+    pq.write_table(_pages_table(), str(p))
+    exp = duckdb.sql(
+        sql_crawl_frontier(str(p), ["https://b.example/x"])
+    ).df()
+    assert "https://b.example/x" not in set(exp["target_url"])
+    assert len(exp) == 3
+
+
+def test_frontier_decoration_actually_drops():
+    """The driver query's decoration fixture must make the anti-join
+    bite on real corpus data: frontier(decorated) is a strict subset."""
+    import ray.data as rd
+
+    from ocr_sam_project_ray.ops.linkgraph import (
+        crawl_frontier, frontier_decoration_urls,
+    )
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    paths = ensure_corpus("/root/testdata/sf0.001")
+    ds = rd.read_parquet(paths["pages"], columns=["url", "html", "text"])
+    base = crawl_frontier(ds).to_pandas()
+    decor = frontier_decoration_urls()
+    extra = rd.from_arrow(pa.table({
+        "url": pa.array(decor, pa.string()),
+        "html": pa.array([b""] * len(decor), pa.binary()),
+        "text": pa.array([""] * len(decor), pa.string()),
+    }))
+    dec = crawl_frontier(ds.union(extra)).to_pandas()
+    assert set(dec["target_url"]) < set(base["target_url"])
+    assert set(base["target_url"]) - set(dec["target_url"]) <= set(decor)
