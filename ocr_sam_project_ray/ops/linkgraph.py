@@ -812,76 +812,72 @@ def crawl_frontier(ds: Dataset, num_partitions: int = 4) -> Dataset:
       (exact string anti-join; compose with ops/urltools.canonicalize_urls
       upstream when crawl and link namespaces need normalizing).
 
-    Scale shape: both flows are payload-free (url string + int64).
-    Stage 1 is a per-batch Arrow group-by combiner over extracted
-    targets; stage 2 one (target_url) groupby; stage 3 a tag-union
-    co-partition on the url key (targets role=0, corpus urls role=1)
-    with a partition-local vectorized ``is_in`` anti probe — the
-    ops/incremental.py semi-join shape with the polarity flipped.
+    Scale shape: ONE corpus read, ONE key shuffle, payload-free rows
+    (url string + int64 + int8) throughout. The stage-1 combiner emits
+    BOTH roles from the same pass over each batch — per-batch
+    pre-aggregated target partials (role 0) and the batch's own urls
+    (role 1) — so the html column is read and scanned exactly once (at
+    100 TB the corpus read dominates; the earlier two-pass form paid it
+    twice). One url-key co-partition then resolves counts and the
+    anti-join together partition-locally: group_by(u) with sum(n_refs)
+    and max(role); a url is frontier iff its group never saw a role-1
+    row (the ops/incremental.py semi-join shape, polarity flipped).
     """
     configure_data_context()
 
-    def targets(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.not_equal(pc.cast(batch["text"], pa.string()), ""),
-            pc.equal(pc.binary_slice(batch["html"], 0, 9), b"<!DOCTYPE"),
-        )
-        batch = batch.filter(pc.fill_null(keep, False))
-        empty = pa.table({"target_url": pa.array([], pa.string()),
-                          "n_refs": pa.array([], pa.int64())})
+    empty = pa.table({"u": pa.array([], pa.string()),
+                      "n_refs": pa.array([], pa.int64()),
+                      "role": pa.array([], pa.int8())})
+
+    def tagged_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty
-        html = pc.cast(batch["html"], pa.string()).to_pylist()
-        urls: list[str] = []
-        for h in html:
-            for href in _HREF_C.findall(h):
-                if _ABS_C.match(href):
-                    urls.append(href)
-        if not urls:
-            return empty
-        t = pa.table({"target_url": pa.array(urls, pa.string())})
-        agg = t.group_by(["target_url"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["target_url", "n_refs"])
-
-    counts = (
-        ds.map_batches(targets, batch_format="pyarrow", batch_size=None)
-        .groupby("target_url", num_partitions=num_partitions)
-        .aggregate(Sum("n_refs", alias_name="n_refs"))
-    )
-
-    def tag_target(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "u": batch["target_url"],
-            "n_refs": batch["n_refs"],
-            "role": pa.array(np.zeros(batch.num_rows, np.int8)),
-        })
-
-    def tag_crawled(batch: pa.Table) -> pa.Table:
-        return pa.table({
+        crawled = pa.table({
             "u": pc.cast(batch["url"], pa.string()),
             "n_refs": pa.array(np.zeros(batch.num_rows, np.int64)),
             "role": pa.array(np.ones(batch.num_rows, np.int8)),
         })
-
-    tagged = counts.map_batches(
-        tag_target, batch_format="pyarrow", batch_size=None
-    ).union(
-        ds.select_columns(["url"]).map_batches(
-            tag_crawled, batch_format="pyarrow", batch_size=None
+        keep = pc.and_(
+            pc.not_equal(pc.cast(batch["text"], pa.string()), ""),
+            pc.equal(pc.binary_slice(batch["html"], 0, 9), b"<!DOCTYPE"),
         )
+        wf = batch.filter(pc.fill_null(keep, False))
+        urls: list[str] = []
+        if wf.num_rows:
+            for h in pc.cast(wf["html"], pa.string()).to_pylist():
+                for href in _HREF_C.findall(h):
+                    if _ABS_C.match(href):
+                        urls.append(href)
+        if not urls:
+            return crawled
+        t = pa.table({"u": pa.array(urls, pa.string())})
+        agg = t.group_by(["u"]).aggregate([([], "count_all")])
+        targets = pa.table({
+            "u": agg["u"],
+            "n_refs": pc.cast(agg["count_all"], pa.int64()),
+            "role": pa.array(np.zeros(agg.num_rows, np.int8)),
+        })
+        return pa.concat_tables([targets, crawled])
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        out_empty = pa.table({"target_url": pa.array([], pa.string()),
+                              "n_refs": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return out_empty
+        g = batch.group_by(["u"]).aggregate(
+            [("n_refs", "sum"), ("role", "max")]
+        )
+        frontier = g.filter(pc.equal(g["role_max"], 0))
+        return pa.table({
+            "target_url": frontier["u"],
+            "n_refs": pc.cast(frontier["n_refs_sum"], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(tagged_rows, batch_format="pyarrow", batch_size=None)
+        .repartition(num_blocks=num_partitions, keys=["u"])
+        .map_batches(resolve, batch_format="pyarrow", batch_size=None)
     )
-
-    def anti(batch: pa.Table) -> pa.Table:
-        is_target = pc.equal(batch["role"], 0)
-        crawled = batch.filter(pc.invert(is_target))["u"]
-        cand = batch.filter(is_target)
-        seen = pc.is_in(cand["u"], value_set=pc.unique(crawled))
-        out = cand.filter(pc.invert(seen))
-        return pa.table({"target_url": out["u"], "n_refs": out["n_refs"]})
-
-    return tagged.repartition(
-        num_blocks=num_partitions, keys=["u"]
-    ).map_batches(anti, batch_format="pyarrow", batch_size=None)
 
 
 def frontier_decoration_urls() -> list[str]:
