@@ -1244,6 +1244,44 @@ def _q_events_range_window(sf_dir: str):
     )
 
 
+def _q_host_percent_rank(sf_dir: str):
+    """Per-host percent_rank of page text length (ops/ranking.py
+    group_percent_rank) — the per-domain score-normalization window;
+    ties share the min rank, pct = ONE IEEE division of exact integers
+    so DuckDB recomputes it bit-identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.ops.linkgraph import _host_of
+    from ocr_sam_project_ray.ops.ranking import group_percent_rank
+    from ocr_sam_project_ray.sources.synthetic import ensure_corpus
+
+    configure_data_context()
+    paths = ensure_corpus(sf_dir)
+    ds = ray.data.read_parquet(paths["pages"], columns=["url", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "host": _host_of(batch["url"]),
+            "n_chars": pc.cast(
+                pc.utf8_length(pc.cast(batch["text"], pa.string())),
+                pa.int64(),
+            ),
+        })
+
+    out = group_percent_rank(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        group_col="host", value_col="n_chars", keep_cols=("url",),
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["url", "n_chars"]).reset_index(drop=True)
+    )
+
+
 def _q_crawl_frontier(sf_dir: str):
     """Crawl-frontier discovery (ops/linkgraph.py): distinct absolute
     link targets not present as corpus urls, with in-link counts — the
@@ -2110,6 +2148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/linkgraph.py), decorated crawled-set fixture; full
         #   DuckDB NOT-EXISTS oracle.
         "crawl_frontier": _q_crawl_frontier,
+        # * host_percent_rank: per-host percent_rank window
+        #   (ops/ranking.py group_percent_rank), exact-integer-division
+        #   contract; full DuckDB PERCENT_RANK oracle.
+        "host_percent_rank": _q_host_percent_rank,
     }
 
 
@@ -2247,6 +2289,19 @@ def oracle_sql() -> dict[str, str]:
         "anchor_terms": _sql_anchor_terms(pages),
         "crawl_frontier": _sql_crawl_frontier(
             pages, _frontier_decoration_urls()),
+        "host_percent_rank": f"""
+            WITH h AS (
+              SELECT url,
+                     regexp_replace(regexp_replace(url, '^https?://', ''),
+                                    '/.*$', '') AS host,
+                     CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+              FROM read_parquet('{pages}')
+            )
+            SELECT url, host, n_chars,
+                   percent_rank() OVER (PARTITION BY host ORDER BY n_chars)
+                     AS pct_rank
+            FROM h ORDER BY url, n_chars
+        """,
         "host_quota": _sql_host_quota.format(pages=pages, n=_HOST_QUOTA_N),
         "lm_buckets": _sql_lm_buckets(),
         "url_canonical": f"""

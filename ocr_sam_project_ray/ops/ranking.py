@@ -145,3 +145,67 @@ def sql_global_rank_ntile(
                     AS BIGINT) AS ntile
         FROM {table}
     """
+
+
+def group_percent_rank(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    keep_cols: tuple = (),
+    num_partitions: int = 4,
+) -> Dataset:
+    """Per-GROUP percent_rank of an integer value — the per-domain
+    score-normalization transform (rank a doc's quality/length against
+    its own host, not the corpus): SQL
+    ``percent_rank() OVER (PARTITION BY group ORDER BY value)``.
+
+    Contract (DuckDB-bit-identical): ties share the MIN rank;
+    ``pct_rank = (rank - 1) / (n_group - 1)`` as ONE IEEE float64
+    division of exact integers (the ops/tfidf.py rank-contract trick),
+    and a single-row group gets 0.0. The kernel is vectorized across
+    all groups of a partition: one lexsort + one global searchsorted
+    over a composite (segment, value) key (stride > value span, loud
+    int64-overflow guard) — the ops/window.py RANGE-window pattern.
+
+    Rows travel payload-light (group + value + keep_cols) through ONE
+    group-key repartition; one group's rows are assumed to fit one
+    partition (the module-level partitioning assumption above).
+    """
+    from .segmented import sorted_segments
+
+    configure_data_context()
+
+    out_cols = list(keep_cols) + [group_col, value_col, "pct_rank"]
+
+    def pct(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            arrs = {c: pa.array([], batch.schema.field(c).type
+                                if c in batch.schema.names else pa.float64())
+                    for c in out_cols}
+            return pa.table(arrs)
+        s, starts, counts = sorted_segments(
+            batch, [(group_col, "ascending"), (value_col, "ascending")]
+        )
+        v = s[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v0 = int(v.min())
+        stride = int(v.max()) - v0 + 2
+        n_seg = len(starts)
+        if n_seg * stride >= 2**62:
+            raise ValueError(
+                f"group_percent_rank composite key overflow: "
+                f"{n_seg} segments x stride {stride}"
+            )
+        seg_id = np.repeat(np.arange(n_seg, dtype=np.int64), counts)
+        key = seg_id * stride + (v - v0)
+        seg_start = np.repeat(starts, counts)
+        rank0 = np.searchsorted(key, key, side="left") - seg_start
+        denom = np.repeat(counts, counts) - 1
+        with np.errstate(invalid="ignore"):
+            pr = np.where(denom > 0, rank0 / np.maximum(denom, 1), 0.0)
+        cols = {c: s[c] for c in out_cols if c != "pct_rank"}
+        cols["pct_rank"] = pa.array(pr, pa.float64())
+        return pa.table(cols)
+
+    return ds.repartition(
+        num_blocks=num_partitions, keys=[group_col]
+    ).map_batches(pct, batch_format="pyarrow", batch_size=None)

@@ -90,3 +90,70 @@ def test_distinct_key_bound_guard():
         global_rank_ntile(
             ray.data.from_arrow(tbl), "n_chars", max_distinct_keys=3
         )
+
+
+# --------------------------------------------------------------------------
+# group_percent_rank — per-group window rank, DuckDB percent_rank contract
+# --------------------------------------------------------------------------
+
+def _pr_df(tbl, **kw):
+    from ocr_sam_project_ray.ops.ranking import group_percent_rank
+
+    return (
+        group_percent_rank(
+            ray.data.from_arrow(tbl), group_col="g", value_col="v",
+            keep_cols=("id",), **kw,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+
+
+def test_group_percent_rank_hand_case():
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "g": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+        "v": pa.array([10, 20, 20, 30, 5], pa.int64()),
+    })
+    df = _pr_df(tbl)
+    # ties share the MIN rank: both 20s get (2-1)/(4-1) = 1/3
+    assert list(df["pct_rank"]) == [0.0, 1 / 3, 1 / 3, 1.0, 0.0]
+
+
+def test_group_percent_rank_matches_duckdb():
+    rng = np.random.default_rng(7)
+    n = 3000
+    tbl = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "g": pa.array([f"h{int(x)}" for x in rng.integers(0, 40, n)],
+                      pa.string()),
+        # heavy ties (small value domain) + one huge-span outlier group
+        "v": pa.array(rng.integers(0, 25, n), pa.int64()),
+    })
+    got = _pr_df(tbl, num_partitions=5)
+    exp = duckdb.sql("""
+        SELECT id, g, v,
+               percent_rank() OVER (PARTITION BY g ORDER BY v) AS pct_rank
+        FROM tbl ORDER BY id
+    """).df()
+    got["id"] = got["id"].astype("int64")
+    exp["id"] = exp["id"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["id", "g", "v", "pct_rank"]].astype({"v": "int64"}),
+        exp.astype({"v": "int64"}),
+    )
+    # bit-identical, not just close
+    assert (got["pct_rank"].to_numpy() == exp["pct_rank"].to_numpy()).all()
+
+
+def test_group_percent_rank_partition_invariance():
+    rng = np.random.default_rng(11)
+    n = 500
+    tbl = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "g": pa.array([f"h{int(x)}" for x in rng.integers(0, 7, n)],
+                      pa.string()),
+        "v": pa.array(rng.integers(-1000, 1000, n), pa.int64()),
+    })
+    a = _pr_df(tbl, num_partitions=1)
+    b = _pr_df(tbl, num_partitions=6)
+    pd.testing.assert_frame_equal(a, b)
