@@ -276,6 +276,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("host_pagerank", lambda: host_pagerank(
         pages_ds, iters=5, num_partitions=8).count())
 
+    # crawl-frontier discovery (round 5): one corpus scan emitting both
+    # anti-join roles, one url co-partition
+    from ocr_sam_project_ray.ops.linkgraph import crawl_frontier
+
+    timed("crawl_frontier", lambda: crawl_frontier(
+        pages_ds, num_partitions=8).count())
+
     # per-host quota cap (payload-free prefix-sum keep set)
     from ocr_sam_project_ray.ops.hostquota import host_quota
 

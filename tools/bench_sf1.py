@@ -188,7 +188,7 @@ def ensure_sf1_pages(n_pages: int) -> str:
 
 
 ALL_OPS = ("exact", "near", "line", "semdedup", "pagerank", "bm25",
-           "extraction", "bpe", "quantknn")
+           "extraction", "bpe", "quantknn", "frontier")
 
 
 def main() -> int:
@@ -302,6 +302,16 @@ def main() -> int:
             pages, iters=5, num_partitions=nparts, plan="distributed",
         ).count()
         results["host_pagerank_distributed_s"] = round(time.time() - t0, 2)
+
+    if "frontier" in only:
+        from ocr_sam_project_ray.ops.linkgraph import crawl_frontier
+
+        pages_path = ensure_sf1_pages(n_docs)
+        pages = ray.data.read_parquet(pages_path)
+        t0 = time.time()
+        results["crawl_frontier_rows"] = crawl_frontier(
+            pages, num_partitions=nparts).count()
+        results["crawl_frontier_s"] = round(time.time() - t0, 2)
 
     if "bm25" in only:
         t0 = time.time()
