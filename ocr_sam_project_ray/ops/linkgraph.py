@@ -107,6 +107,20 @@ def _host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.replace_substring_regex(stripped, pattern=r"/.*$", replacement="")
 
 
+def _wellformed(batch: pa.Table, html_col: str = "html",
+                text_col: str = "text") -> pa.Table:
+    """The module-wide well-formed-HTML gate (see the link-extraction
+    contract in the module docstring): non-empty text AND an
+    ``<!DOCTYPE`` magic-byte prefix. ONE home for the predicate — the
+    SQL mirrors (sql_linkgraph_cte, sql_anchor_terms,
+    sql_crawl_frontier) must change with it."""
+    keep = pc.and_(
+        pc.not_equal(pc.cast(batch[text_col], pa.string()), ""),
+        pc.equal(pc.binary_slice(batch[html_col], 0, 9), b"<!DOCTYPE"),
+    )
+    return batch.filter(pc.fill_null(keep, False))
+
+
 def extract_links(
     ds: Dataset, url_col: str = "url", html_col: str = "html",
     text_col: str = "text",
@@ -117,11 +131,7 @@ def extract_links(
     the two short host columns travel on."""
 
     def links(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.not_equal(pc.cast(batch[text_col], pa.string()), ""),
-            pc.equal(pc.binary_slice(batch[html_col], 0, 9), b"<!DOCTYPE"),
-        )
-        batch = batch.filter(pc.fill_null(keep, False))
+        batch = _wellformed(batch, html_col, text_col)
         if batch.num_rows == 0:
             return pa.table({"src_host": pa.array([], pa.string()),
                              "dst_host": pa.array([], pa.string())})
@@ -719,11 +729,7 @@ def anchor_terms(ds: Dataset, num_partitions: int = 4) -> Dataset:
     configure_data_context()
 
     def terms(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.not_equal(pc.cast(batch["text"], pa.string()), ""),
-            pc.equal(pc.binary_slice(batch["html"], 0, 9), b"<!DOCTYPE"),
-        )
-        batch = batch.filter(pc.fill_null(keep, False))
+        batch = _wellformed(batch)
         empty = pa.table({"dst_host": pa.array([], pa.string()),
                           "term": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64())})
@@ -837,11 +843,7 @@ def crawl_frontier(ds: Dataset, num_partitions: int = 4) -> Dataset:
             "n_refs": pa.array(np.zeros(batch.num_rows, np.int64)),
             "role": pa.array(np.ones(batch.num_rows, np.int8)),
         })
-        keep = pc.and_(
-            pc.not_equal(pc.cast(batch["text"], pa.string()), ""),
-            pc.equal(pc.binary_slice(batch["html"], 0, 9), b"<!DOCTYPE"),
-        )
-        wf = batch.filter(pc.fill_null(keep, False))
+        wf = _wellformed(batch)
         urls: list[str] = []
         if wf.num_rows:
             for h in pc.cast(wf["html"], pa.string()).to_pylist():
@@ -899,9 +901,11 @@ def sql_crawl_frontier(pages_glob: str, extra_urls: list[str] = ()) -> str:
     """DuckDB recompute of crawl_frontier over the same parquet glob;
     ``extra_urls`` appends literal urls to the crawled set (the driver
     query's decoration fixture, so the anti-join provably drops rows)."""
+    from .urltools import _sql_escape
+
     extra = ""
     if extra_urls:
-        vals = ", ".join("(" + _sql_str(u) + ")" for u in extra_urls)
+        vals = ", ".join(f"('{_sql_escape(u)}')" for u in extra_urls)
         extra = f" UNION ALL SELECT url FROM (VALUES {vals}) v(url)"
     return f"""
         WITH wf AS (
@@ -928,5 +932,3 @@ def sql_crawl_frontier(pages_glob: str, extra_urls: list[str] = ()) -> str:
     """
 
 
-def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"

@@ -183,6 +183,15 @@ def group_percent_rank(
                                 if c in batch.schema.names else pa.float64())
                     for c in out_cols}
             return pa.table(arrs)
+        if (batch[value_col].null_count or batch[group_col].null_count):
+            # nulls would sort to segment end as NaN-derived garbage
+            # keys and silently corrupt EVERY rank in the partition —
+            # loud, like the overflow guard below (DuckDB's NULLS-LAST
+            # percent_rank is a different contract; coalesce upstream)
+            raise ValueError(
+                "group_percent_rank: null values in "
+                f"{group_col!r}/{value_col!r} — coalesce upstream"
+            )
         s, starts, counts = sorted_segments(
             batch, [(group_col, "ascending"), (value_col, "ascending")]
         )
@@ -200,8 +209,9 @@ def group_percent_rank(
         seg_start = np.repeat(starts, counts)
         rank0 = np.searchsorted(key, key, side="left") - seg_start
         denom = np.repeat(counts, counts) - 1
-        with np.errstate(invalid="ignore"):
-            pr = np.where(denom > 0, rank0 / np.maximum(denom, 1), 0.0)
+        # the maximum-clamp keeps the division well-defined; the where
+        # enforces the single-row-group -> 0.0 contract
+        pr = np.where(denom > 0, rank0 / np.maximum(denom, 1), 0.0)
         cols = {c: s[c] for c in out_cols if c != "pct_rank"}
         cols["pct_rank"] = pa.array(pr, pa.float64())
         return pa.table(cols)

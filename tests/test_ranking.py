@@ -157,3 +157,17 @@ def test_group_percent_rank_partition_invariance():
     a = _pr_df(tbl, num_partitions=1)
     b = _pr_df(tbl, num_partitions=6)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_group_percent_rank_null_guard():
+    from ocr_sam_project_ray.ops.ranking import group_percent_rank
+
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "g": pa.array(["a", "a"], pa.string()),
+        "v": pa.array([1, None], pa.int64()),
+    })
+    with pytest.raises(Exception, match="null"):
+        group_percent_rank(
+            ray.data.from_arrow(tbl), group_col="g", value_col="v",
+        ).to_pandas()
