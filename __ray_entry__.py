@@ -1244,6 +1244,30 @@ def _q_events_range_window(sf_dir: str):
     )
 
 
+PHRASE_QUERIES = ["table part", "agg row", "fast table value",
+                  "spark order data", "scan query big"]
+
+
+def _q_phrase_search(sf_dir: str):
+    """Consecutive-token phrase retrieval (ops/invindex.phrase_search):
+    (doc_id, phrase, n_hits) per matching document, engine-wide
+    tokenizer contract, zero shuffle — the positional sibling of the
+    inverted index's conjunctive AND query."""
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.ops.invindex import phrase_search
+
+    configure_data_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return (
+        phrase_search(ds, PHRASE_QUERIES)
+        .to_pandas().sort_values(["phrase", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_host_percent_rank(sf_dir: str):
     """Per-host percent_rank of page text length (ops/ranking.py
     group_percent_rank) — the per-domain score-normalization window;
@@ -2152,6 +2176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/ranking.py group_percent_rank), exact-integer-division
         #   contract; full DuckDB PERCENT_RANK oracle.
         "host_percent_rank": _q_host_percent_rank,
+        # * phrase_search: consecutive-token phrase retrieval
+        #   (ops/invindex.py), zero shuffle; full DuckDB n-gram oracle.
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -2830,6 +2857,7 @@ def _ops_oracles() -> dict[str, str]:
         "embed_quantize_stats": _quantize_stats_oracle(),
         "knn_quantized": _knn_quantized_oracle(),
         "inverted_index": _invindex_oracle(),
+        "phrase_search": _phrase_search_oracle(),
         "pmi_topk": _pmi_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
         "chunk_documents": _chunk_oracle(),
@@ -2950,6 +2978,12 @@ def _pmi_oracle() -> str:
     from ocr_sam_project_ray.ops.pmi import sql_pmi_topk
 
     return sql_pmi_topk(k=30, min_count=5)
+
+
+def _phrase_search_oracle() -> str:
+    from ocr_sam_project_ray.ops.invindex import sql_phrase_search
+
+    return sql_phrase_search(PHRASE_QUERIES)
 
 
 def _invindex_oracle() -> str:

@@ -146,3 +146,113 @@ def conjunctive_query(index: Dataset, tokens: list[str]) -> list[int]:
             break
         cur = _np_intersect(cur, nxt)
     return cur.tolist()
+
+
+# --------------------------------------------------------------------------
+# Phrase search — positional retrieval without a positional index
+# --------------------------------------------------------------------------
+
+
+def phrase_search(
+    ds: Dataset,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """(doc_id, phrase, n_hits) for every document containing each query
+    phrase as a CONSECUTIVE token run — the positional-query sibling of
+    conjunctive_query (which only tests co-occurrence). A doc matches a
+    k-token phrase iff the phrase equals one of the doc's token
+    k-grams under the engine-wide tokenizer contract; ``n_hits`` counts
+    the (possibly overlapping) occurrences.
+
+    Scale shape: ZERO shuffle. The phrase set is a bounded broadcast
+    (captured in the task closure); per batch, one flat_tokens pass +
+    one ``ngrams_from_flat`` + ``pc.is_in`` per distinct phrase LENGTH
+    (not per phrase), and every doc lives in exactly one batch row so
+    per-batch outputs are final. The gram construction is the shared
+    textstats kernel — "phrase" means the same thing as every other
+    n-gram op corpus-wide.
+    """
+    from .textstats import flat_tokens, ngrams_from_flat
+
+    configure_data_context()
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        toks = p.split()
+        if not toks:
+            raise ValueError(f"empty phrase {p!r}")
+        by_len.setdefault(len(toks), []).append(" ".join(toks))
+
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "phrase": pa.array([], pa.string()),
+        "n_hits": pa.array([], pa.int64()),
+    })
+
+    def search(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        _, flat, doc_idx = flat_tokens(batch[text_col])
+        out_doc, out_phrase, out_hits = [], [], []
+        for n, plist in by_len.items():
+            grams, gdoc = ngrams_from_flat(flat, doc_idx, n)
+            if len(grams) == 0:
+                continue
+            hit = pc.is_in(grams, value_set=pa.array(plist, pa.string()))
+            hit_np = hit.to_numpy(zero_copy_only=False)
+            if not hit_np.any():
+                continue
+            hg = grams.filter(hit)
+            hd = gdoc[hit_np]
+            # count occurrences per (row, phrase) via one dictionary
+            # encode + np.unique — no Python loop over hits
+            enc = pc.dictionary_encode(hg)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nd = len(enc.dictionary)
+            key = hd * nd + codes
+            uk, cnt = np.unique(key, return_counts=True)
+            out_doc.append(ids[uk // nd])
+            out_phrase.append(enc.dictionary.take(pa.array(uk % nd, pa.int64())))
+            out_hits.append(cnt.astype(np.int64))
+        if not out_doc:
+            return empty
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_doc), pa.int64()),
+            "phrase": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in out_phrase]),
+            "n_hits": pa.array(np.concatenate(out_hits), pa.int64()),
+        })
+
+    return ds.map_batches(search, batch_format="pyarrow", batch_size=None)
+
+
+def sql_phrase_search(phrases: list[str], table: str = "documents",
+                      id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB recompute: per phrase, count equal token n-grams (the
+    trigram-oracle gram construction, generalized to the phrase's n)."""
+    from .urltools import _sql_escape
+
+    toks_expr = f"string_split_regex(trim({text_col}), '\\s+')"
+    selects = []
+    for p in phrases:
+        toks = p.split()
+        n = len(toks)
+        gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+        lit = _sql_escape(" ".join(toks))
+        selects.append(f"""
+        SELECT {id_col}, '{lit}' AS phrase,
+               CAST(list_sum(list_transform(
+                 generate_series(1, greatest(len(ws) - {n - 1}, 0)),
+                 i -> CASE WHEN {gram} = '{lit}' THEN 1 ELSE 0 END))
+                 AS BIGINT) AS n_hits
+        FROM (SELECT {id_col},
+                     CASE WHEN trim({text_col}) = '' THEN []
+                          ELSE {toks_expr} END AS ws
+              FROM {table})
+        WHERE n_hits > 0""")
+    return " UNION ALL ".join(selects) + f" ORDER BY phrase, {id_col}"

@@ -77,3 +77,83 @@ def test_partition_invariant():
     a["postings"] = a["postings"].map(list)
     b["postings"] = b["postings"].map(list)
     assert a.values.tolist() == b.values.tolist()
+
+
+# --------------------------------------------------------------------------
+# phrase_search
+# --------------------------------------------------------------------------
+
+def _phrase_df(tbl, phrases):
+    import pandas as pd  # noqa: F401
+
+    from ocr_sam_project_ray.ops.invindex import phrase_search
+
+    return (
+        phrase_search(ray.data.from_arrow(tbl), phrases)
+        .to_pandas().sort_values(["phrase", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_phrase_search_hand_case():
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox",
+            "a a a b",              # overlapping "a a" occurs twice
+            "quick brown",          # phrase crosses nothing: matches
+            "brown quick",          # right tokens, wrong order: no match
+        ], pa.string()),
+    })
+    df = _phrase_df(tbl, ["quick brown", "a a", "quick brown fox"])
+    got = {(r.doc_id, r.phrase): r.n_hits for r in df.itertuples()}
+    assert got == {
+        (1, "quick brown"): 1,
+        (3, "quick brown"): 1,
+        (2, "a a"): 2,
+        (1, "quick brown fox"): 1,
+    }
+
+
+def test_phrase_search_empty_and_whitespace_docs():
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "   ", "x y"], pa.string()),
+    })
+    df = _phrase_df(tbl, ["x y"])
+    assert list(df["doc_id"]) == [3] and list(df["n_hits"]) == [1]
+
+
+def test_phrase_search_matches_duckdb():
+    import pandas as pd
+
+    from ocr_sam_project_ray.ops.invindex import (
+        phrase_search, sql_phrase_search,
+    )
+
+    phrases = ["table part", "agg row scan", "a a"]
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = (
+        phrase_search(ds, phrases)
+        .to_pandas().sort_values(["phrase", "doc_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    exp = con.sql(sql_phrase_search(phrases)).df()
+    got["doc_id"] = got["doc_id"].astype("int64")
+    exp["doc_id"] = exp["doc_id"].astype("int64")
+    exp["n_hits"] = exp["n_hits"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+    assert len(got) > 0
+
+
+def test_phrase_search_rejects_empty_phrase():
+    import pytest
+
+    from ocr_sam_project_ray.ops.invindex import phrase_search
+
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_search(ray.data.range(1), ["  "])
