@@ -1890,7 +1890,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_pages": _q_dedup_pages,
         "batch_rollup": _q_batch_rollup,
         # training-data ops (documents/embeddings views; DuckDB recompute)
-        "text_token_stats": _q_text_token_stats,
+        # * crawl_frontier: closing-session rotation — the single-pass
+        #   anti-join frontier op replaces text_token_stats (redundant
+        #   in-window with token_df; still registered + oracle-checked
+        #   below the recorded 50).
+        "crawl_frontier": _q_crawl_frontier,
         "token_df": _q_token_df,
         "events_cumsum": _q_events_cumsum,
         # * bpe_encode_docs / knn_quantized: round-5 rotation — the BPE
@@ -1937,7 +1941,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / windowed capabilities
         "q1_pricing": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
-        "events_hourly": _q_events_hourly,
+        # * phrase_search: closing-session rotation — positional
+        #   retrieval replaces events_hourly (plain groupby, redundant
+        #   in-window with batch_rollup/events_cumsum; still registered
+        #   + oracle-checked below the recorded 50).
+        "phrase_search": _q_phrase_search,
         "events_asof_orders": _q_events_asof_orders,
         "quality_gopher": _q_quality_gopher,
         "dedup_incremental": _q_dedup_incremental,
@@ -2168,17 +2176,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # * events_range_window: TIME-based RANGE trailing window
         #   (ops/window.py), ties-are-peers frame; full DuckDB oracle.
         "events_range_window": _q_events_range_window,
-        # * crawl_frontier: absolute link targets not yet crawled
-        #   (ops/linkgraph.py), decorated crawled-set fixture; full
-        #   DuckDB NOT-EXISTS oracle.
-        "crawl_frontier": _q_crawl_frontier,
         # * host_percent_rank: per-host percent_rank window
         #   (ops/ranking.py group_percent_rank), exact-integer-division
         #   contract; full DuckDB PERCENT_RANK oracle.
         "host_percent_rank": _q_host_percent_rank,
-        # * phrase_search: consecutive-token phrase retrieval
-        #   (ops/invindex.py), zero shuffle; full DuckDB n-gram oracle.
-        "phrase_search": _q_phrase_search,
+        # rotated OUT of the recorded window in the closing session
+        # (both still oracle-checked every check_oracle run):
+        "text_token_stats": _q_text_token_stats,
+        "events_hourly": _q_events_hourly,
     }
 
 

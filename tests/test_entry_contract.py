@@ -96,13 +96,13 @@ def test_every_query_has_callable_and_runs(entry_mod, con, oracles_001):
 RECORDED_50 = [
     "extract_main_text", "extract_validate", "extract_segments", "extract_classify", "extract_entities",
     "extract_montos", "extract_metadata", "extract_spans_agg", "extract_fecha_iso", "project_names",
-    "text_scores", "accepted_results", "dedup_pages", "batch_rollup", "text_token_stats",
+    "text_scores", "accepted_results", "dedup_pages", "batch_rollup", "crawl_frontier",
     "token_df", "events_cumsum", "bpe_encode_docs", "knn_quantized", "pack_documents",
     "text_lang_id", "doc_fingerprint", "dedup_docs_exact", "dedup_docs_norm", "ngram_jaccard_pairs",
     "near_dup_verified", "near_dup_clusters", "dedup_docs_near_verified", "line_dedup", "pii_redact",
     "multimodal_meta", "knn_cosine", "cosine_near_pairs", "doc_embeddings", "trigram_lm_score",
     "dsir_score", "bm25_topk", "tfidf_topk", "host_pagerank", "events_funnel",
-    "doc_split_safe", "q1_pricing", "q3_top_orders", "events_hourly", "events_asof_orders",
+    "doc_split_safe", "q1_pricing", "q3_top_orders", "phrase_search", "events_asof_orders",
     "quality_gopher", "dedup_incremental", "knn_from_text", "hybrid_rrf", "fix_mojibake",
 ]
 
