@@ -358,3 +358,53 @@ def test_range_window_matches_duckdb_corpus():
             f"read_parquet('{SF}/events.parquet')")
     exp = _norm(con.sql(SQL_EVENTS_RANGE_WINDOW).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_range_window_partition_invariance(tmp_path):
+    from ocr_sam_project_ray.ops.window import events_range_window
+
+    rows = [(i, f"2024-01-01 {i % 24:02d}:{(i * 7) % 60:02d}", i % 5,
+             "view", (i - 30) * 0.77) for i in range(1, 151)]
+    sf = _events_fixture(tmp_path, rows)
+    a = _norm(events_range_window(sf, num_partitions=1).to_pandas())
+    b = _norm(events_range_window(sf, num_partitions=7).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_range_window_exact_boundary_fuzz(tmp_path):
+    """Seeded random fixtures with events planted EXACTLY one horizon
+    apart (the closed-left frame boundary) and same-ts ties — every
+    fixture must match DuckDB bit-for-bit."""
+    import numpy as np
+
+    from ocr_sam_project_ray.ops.window import (
+        SQL_EVENTS_RANGE_WINDOW, events_range_window,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        rows, eid = [], 0
+        for u in range(1, 4):
+            base = int(rng.integers(0, 3600))
+            for k in range(20):
+                eid += 1
+                # mix: exact 1h multiples (boundary), ties, random
+                kind = int(rng.integers(0, 3))
+                if kind == 0:
+                    sec = base + 3600 * int(rng.integers(0, 3))
+                elif kind == 1 and rows:
+                    sec = int(rng.integers(0, 7200))
+                else:
+                    sec = int(rng.integers(0, 7200))
+                ts = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec)
+                rows.append((eid, str(ts), u, "view",
+                             float(rng.integers(-500, 500)) / 7))
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        sf = _events_fixture(d, rows)
+        got = _norm(events_range_window(sf).to_pandas())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+        exp = _norm(con.sql(SQL_EVENTS_RANGE_WINDOW).df())
+        pd.testing.assert_frame_equal(got, exp)
