@@ -2331,7 +2331,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, host, n_chars,
                    percent_rank() OVER (PARTITION BY host ORDER BY n_chars)
-                     AS pct_rank
+                     AS pct_rank,
+                   cume_dist() OVER (PARTITION BY host ORDER BY n_chars)
+                     AS cume_dist
             FROM h ORDER BY url, n_chars
         """,
         "host_quota": _sql_host_quota.format(pages=pages, n=_HOST_QUOTA_N),

@@ -162,10 +162,13 @@ def group_percent_rank(
     Contract (DuckDB-bit-identical): ties share the MIN rank;
     ``pct_rank = (rank - 1) / (n_group - 1)`` as ONE IEEE float64
     division of exact integers (the ops/tfidf.py rank-contract trick),
-    and a single-row group gets 0.0. The kernel is vectorized across
-    all groups of a partition: one lexsort + one global searchsorted
-    over a composite (segment, value) key (stride > value span, loud
-    int64-overflow guard) — the ops/window.py RANGE-window pattern.
+    and a single-row group gets 0.0. A ``cume_dist`` column rides along
+    under the same contract: ``(rows with value <= current) / n_group``
+    — the peer-run END over the group size, single-row group 1.0
+    (matches DuckDB cume_dist()). The kernel is vectorized across
+    all groups of a partition: one lexsort + two global searchsorted
+    probes over a composite (segment, value) key (stride > value span,
+    loud int64-overflow guard) — the ops/window.py RANGE-window pattern.
 
     Rows travel payload-light (group + value + keep_cols) through ONE
     group-key repartition; one group's rows are assumed to fit one
@@ -175,12 +178,14 @@ def group_percent_rank(
 
     configure_data_context()
 
-    out_cols = list(keep_cols) + [group_col, value_col, "pct_rank"]
+    out_cols = list(keep_cols) + [group_col, value_col,
+                                  "pct_rank", "cume_dist"]
 
     def pct(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             arrs = {c: pa.array([], batch.schema.field(c).type
-                                if c in batch.schema.names else pa.float64())
+                                if c in batch.schema.names
+                                else pa.float64())
                     for c in out_cols}
             return pa.table(arrs)
         if (batch[value_col].null_count or batch[group_col].null_count):
@@ -208,12 +213,17 @@ def group_percent_rank(
         key = seg_id * stride + (v - v0)
         seg_start = np.repeat(starts, counts)
         rank0 = np.searchsorted(key, key, side="left") - seg_start
-        denom = np.repeat(counts, counts) - 1
+        hi = np.searchsorted(key, key, side="right") - seg_start
+        ngrp = np.repeat(counts, counts)
+        denom = ngrp - 1
         # the maximum-clamp keeps the division well-defined; the where
         # enforces the single-row-group -> 0.0 contract
         pr = np.where(denom > 0, rank0 / np.maximum(denom, 1), 0.0)
-        cols = {c: s[c] for c in out_cols if c != "pct_rank"}
+        cd = hi / ngrp
+        cols = {c: s[c] for c in out_cols
+                if c not in ("pct_rank", "cume_dist")}
         cols["pct_rank"] = pa.array(pr, pa.float64())
+        cols["cume_dist"] = pa.array(cd, pa.float64())
         return pa.table(cols)
 
     return ds.repartition(

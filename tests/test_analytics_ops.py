@@ -408,3 +408,10 @@ def test_range_window_exact_boundary_fuzz(tmp_path):
                 f"read_parquet('{sf}/events.parquet')")
         exp = _norm(con.sql(SQL_EVENTS_RANGE_WINDOW).df())
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_range_window_empty_events(tmp_path):
+    from ocr_sam_project_ray.ops.window import events_range_window
+
+    sf = _events_fixture(tmp_path, [])
+    assert events_range_window(sf).count() == 0

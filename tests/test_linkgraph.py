@@ -328,3 +328,18 @@ def test_frontier_decoration_actually_drops():
     dec = crawl_frontier(ds.union(extra)).to_pandas()
     assert set(dec["target_url"]) < set(base["target_url"])
     assert set(base["target_url"]) - set(dec["target_url"]) <= set(decor)
+
+
+def test_crawl_frontier_no_wellformed_pages():
+    from ocr_sam_project_ray.ops.linkgraph import crawl_frontier
+
+    tbl = pa.table({
+        "url": pa.array(["https://a.example/p", "https://b.example/p"],
+                        pa.string()),
+        "html": pa.array([b"%PDF-1.4 x", b"not html"], pa.binary()),
+        "text": pa.array(["", ""], pa.string()),
+    })
+    # zero frontier rows (urls crawled, no extractable links); count()
+    # on the Dataset — to_pandas drops the schema on fully-empty
+    # results (Ray artifact shared by every wrapper)
+    assert crawl_frontier(ray.data.from_arrow(tbl)).count() == 0

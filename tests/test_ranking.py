@@ -117,6 +117,8 @@ def test_group_percent_rank_hand_case():
     df = _pr_df(tbl)
     # ties share the MIN rank: both 20s get (2-1)/(4-1) = 1/3
     assert list(df["pct_rank"]) == [0.0, 1 / 3, 1 / 3, 1.0, 0.0]
+    # cume_dist: peer-run END / n; single-row group -> 1.0
+    assert list(df["cume_dist"]) == [0.25, 0.75, 0.75, 1.0, 1.0]
 
 
 def test_group_percent_rank_matches_duckdb():
@@ -132,17 +134,19 @@ def test_group_percent_rank_matches_duckdb():
     got = _pr_df(tbl, num_partitions=5)
     exp = duckdb.sql("""
         SELECT id, g, v,
-               percent_rank() OVER (PARTITION BY g ORDER BY v) AS pct_rank
+               percent_rank() OVER (PARTITION BY g ORDER BY v) AS pct_rank,
+               cume_dist() OVER (PARTITION BY g ORDER BY v) AS cume_dist
         FROM tbl ORDER BY id
     """).df()
     got["id"] = got["id"].astype("int64")
     exp["id"] = exp["id"].astype("int64")
     pd.testing.assert_frame_equal(
-        got[["id", "g", "v", "pct_rank"]].astype({"v": "int64"}),
+        got[["id", "g", "v", "pct_rank", "cume_dist"]].astype({"v": "int64"}),
         exp.astype({"v": "int64"}),
     )
     # bit-identical, not just close
     assert (got["pct_rank"].to_numpy() == exp["pct_rank"].to_numpy()).all()
+    assert (got["cume_dist"].to_numpy() == exp["cume_dist"].to_numpy()).all()
 
 
 def test_group_percent_rank_partition_invariance():
@@ -171,3 +175,18 @@ def test_group_percent_rank_null_guard():
         group_percent_rank(
             ray.data.from_arrow(tbl), group_col="g", value_col="v",
         ).to_pandas()
+
+
+def test_group_percent_rank_empty_input():
+    from ocr_sam_project_ray.ops.ranking import group_percent_rank
+
+    tbl = pa.table({
+        "id": pa.array([], pa.int64()),
+        "g": pa.array([], pa.string()),
+        "v": pa.array([], pa.int64()),
+    })
+    out = group_percent_rank(
+        ray.data.from_arrow(tbl), group_col="g", value_col="v",
+        keep_cols=("id",),
+    )
+    assert out.count() == 0
