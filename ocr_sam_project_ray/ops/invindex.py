@@ -184,51 +184,63 @@ def phrase_search(
             raise ValueError(f"empty phrase {p!r}")
         by_len.setdefault(len(toks), []).append(" ".join(toks))
 
+    def search(batch: pa.Table) -> pa.Table:
+        return phrase_hits_batch(batch[id_col], batch[text_col],
+                                 by_len, id_col)
+
+    return ds.map_batches(search, batch_format="pyarrow", batch_size=None)
+
+
+def phrase_hits_batch(id_arr, text_arr, by_len: dict,
+                      id_col: str = "doc_id") -> pa.Table:
+    """Pure per-batch phrase-hit kernel (exported so the hypothesis
+    parity fuzz can drive it without a Ray session): (id, phrase,
+    n_hits) rows for every (row, phrase) with >= 1 consecutive-token
+    match. ``by_len`` maps phrase token count -> list of normalized
+    phrases (single-space joined)."""
+    import pyarrow.compute as pc
+
+    from .textstats import flat_tokens, ngrams_from_flat
+
     empty = pa.table({
         id_col: pa.array([], pa.int64()),
         "phrase": pa.array([], pa.string()),
         "n_hits": pa.array([], pa.int64()),
     })
-
-    def search(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return empty
-        import pyarrow.compute as pc
-
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        _, flat, doc_idx = flat_tokens(batch[text_col])
-        out_doc, out_phrase, out_hits = [], [], []
-        for n, plist in by_len.items():
-            grams, gdoc = ngrams_from_flat(flat, doc_idx, n)
-            if len(grams) == 0:
-                continue
-            hit = pc.is_in(grams, value_set=pa.array(plist, pa.string()))
-            hit_np = hit.to_numpy(zero_copy_only=False)
-            if not hit_np.any():
-                continue
-            hg = grams.filter(hit)
-            hd = gdoc[hit_np]
-            # count occurrences per (row, phrase) via one dictionary
-            # encode + np.unique — no Python loop over hits
-            enc = pc.dictionary_encode(hg)
-            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            nd = len(enc.dictionary)
-            key = hd * nd + codes
-            uk, cnt = np.unique(key, return_counts=True)
-            out_doc.append(ids[uk // nd])
-            out_phrase.append(enc.dictionary.take(pa.array(uk % nd, pa.int64())))
-            out_hits.append(cnt.astype(np.int64))
-        if not out_doc:
-            return empty
-        return pa.table({
-            id_col: pa.array(np.concatenate(out_doc), pa.int64()),
-            "phrase": pa.concat_arrays(
-                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-                 for a in out_phrase]),
-            "n_hits": pa.array(np.concatenate(out_hits), pa.int64()),
-        })
-
-    return ds.map_batches(search, batch_format="pyarrow", batch_size=None)
+    if len(id_arr) == 0:
+        return empty
+    ids = id_arr.to_numpy(zero_copy_only=False)
+    _, flat, doc_idx = flat_tokens(text_arr)
+    out_doc, out_phrase, out_hits = [], [], []
+    for n, plist in by_len.items():
+        grams, gdoc = ngrams_from_flat(flat, doc_idx, n)
+        if len(grams) == 0:
+            continue
+        hit = pc.is_in(grams, value_set=pa.array(plist, pa.string()))
+        hit_np = hit.to_numpy(zero_copy_only=False)
+        if not hit_np.any():
+            continue
+        hg = grams.filter(hit)
+        hd = gdoc[hit_np]
+        # count occurrences per (row, phrase) via one dictionary
+        # encode + np.unique — no Python loop over hits
+        enc = pc.dictionary_encode(hg)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = len(enc.dictionary)
+        key = hd * nd + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        out_doc.append(ids[uk // nd])
+        out_phrase.append(enc.dictionary.take(pa.array(uk % nd, pa.int64())))
+        out_hits.append(cnt.astype(np.int64))
+    if not out_doc:
+        return empty
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_doc), pa.int64()),
+        "phrase": pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in out_phrase]),
+        "n_hits": pa.array(np.concatenate(out_hits), pa.int64()),
+    })
 
 
 def sql_phrase_search(phrases: list[str], table: str = "documents",
