@@ -489,3 +489,64 @@ def test_ingest_inplace_rewrite_reprocessed(tmp_path, files):
         json.dump(rec, fh)
     m4 = ingest_incremental([src], out, cfg)
     assert m4["fragments_skipped"] == 1
+
+
+def test_crawl_loop_frontier_to_ingest(tmp_path, files):
+    """Closes the crawl loop end-to-end: frontier discovery over the
+    ingested corpus -> 'fetch' a batch of frontier urls as a new pages
+    fragment -> incremental ingest processes ONLY that fragment -> the
+    fetched urls leave the frontier on the next discovery pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ocr_sam_project_ray.ops.linkgraph import crawl_frontier
+
+    cfg = PipelineConfig(dedup_partitions=2)
+    first = files[: max(1, len(files) // 2)]
+    out = str(tmp_path / "loop")
+
+    from ocr_sam_project_ray.pipelines.checkpoint import ingest_incremental
+
+    m1 = ingest_incremental(first, out, cfg)
+    assert m1["fragments_processed"] == len(first)
+
+    def frontier_of(paths):
+        ds = ray.data.read_parquet(paths, columns=["url", "html", "text"])
+        return (
+            crawl_frontier(ds, num_partitions=2)
+            .to_pandas().sort_values("n_refs", ascending=False)
+        )
+
+    fr = frontier_of(first)
+    assert len(fr) > 0, "corpus footer links must produce a frontier"
+
+    # 'fetch' the top frontier urls: a new crawl fragment whose pages
+    # are well-formed and link back to an already-crawled url
+    fetched_urls = fr["target_url"].head(5).tolist()
+    back_link = pq.read_table(first[0], columns=["url"])["url"][0].as_py()
+    ts = pd.Timestamp("2025-01-01")
+    frag = pa.table({
+        "url": pa.array(fetched_urls, pa.string()),
+        "warc_ts": pa.array([ts] * len(fetched_urls), pa.timestamp("us")),
+        "html": pa.array(
+            [f'<!DOCTYPE html><html><body><p>fetched page</p>'
+             f'<a href="{back_link}">back</a></body></html>'.encode()
+             for _ in fetched_urls], pa.binary()),
+        "text": pa.array(["fetched page"] * len(fetched_urls), pa.string()),
+        "lang": pa.array(["es"] * len(fetched_urls), pa.string()),
+    })
+    frag_path = str(tmp_path / "fetched_batch.parquet")
+    pq.write_table(frag, frag_path)
+
+    # incremental ingest: ONLY the fetched fragment is processed
+    m2 = ingest_incremental(first + [frag_path], out, cfg)
+    assert m2["fragments_processed"] == 1
+    assert m2["fragments_skipped"] == len(first)
+
+    # the fetched urls are crawled now -> they leave the frontier
+    fr2 = frontier_of(first + [frag_path])
+    assert set(fetched_urls).isdisjoint(set(fr2["target_url"]))
+    # and the back-link target was already crawled, so it is not
+    # frontier either
+    assert back_link not in set(fr2["target_url"])
