@@ -1247,6 +1247,27 @@ def _q_events_range_window(sf_dir: str):
 PHRASE_QUERIES = ["table part", "agg row", "fast table value",
                   "spark order data", "scan query big"]
 
+TEMP_MIX_TOKENS = 20_000
+
+
+def _q_temperature_mixture(sf_dir: str):
+    """α=1/2 temperature-balanced mixture (ops/mixture.py): budgets
+    derived from corpus composition via exact integer sqrt weights,
+    then content-hash-ordered admission — end-to-end integer contract,
+    full-chain DuckDB recompute."""
+    import ray.data
+
+    from ocr_sam_project_ray.context import configure_data_context
+    from ocr_sam_project_ray.ops.mixture import temperature_mixture_sample
+
+    configure_data_context()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    return (
+        temperature_mixture_sample(ds, TEMP_MIX_TOKENS)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
 
 def _q_phrase_search(sf_dir: str):
     """Consecutive-token phrase retrieval (ops/invindex.phrase_search):
@@ -2180,6 +2201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #   (ops/ranking.py group_percent_rank), exact-integer-division
         #   contract; full DuckDB PERCENT_RANK oracle.
         "host_percent_rank": _q_host_percent_rank,
+        # * temperature_mixture: α=1/2 temperature-balanced source
+        #   mixing (ops/mixture.py), exact integer-sqrt weights; full
+        #   DuckDB chain recompute.
+        "temperature_mixture": _q_temperature_mixture,
         # rotated OUT of the recorded window in the closing session
         # (both still oracle-checked every check_oracle run):
         "text_token_stats": _q_text_token_stats,
@@ -2848,6 +2873,7 @@ def _ops_oracles() -> dict[str, str]:
         "bpe_token_count": _bpe_oracle(),
         "quality_gopher": _quality_oracle(),
         "mixture_sample": _mixture_oracle(),
+        "temperature_mixture": _temperature_mixture_oracle(),
         "dup_span_stats": _span_oracle(False),
         "strip_dup_spans": _span_oracle(True),
         "tfidf_topk": _tfidf_oracle(),
@@ -3254,6 +3280,12 @@ def _mixture_oracle() -> str:
     from ocr_sam_project_ray.ops.mixture import sql_mixture_sample
 
     return sql_mixture_sample(MIXTURE_BUDGETS)
+
+
+def _temperature_mixture_oracle() -> str:
+    from ocr_sam_project_ray.ops.mixture import sql_temperature_mixture
+
+    return sql_temperature_mixture(TEMP_MIX_TOKENS)
 
 
 def _quality_oracle() -> str:

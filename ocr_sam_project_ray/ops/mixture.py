@@ -177,3 +177,135 @@ def sql_mixture_sample(
         SELECT {id_col}, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
         FROM c WHERE cum <= budget
     """
+
+
+# --------------------------------------------------------------------------
+# Temperature-balanced mixture — budgets derived from corpus composition
+# --------------------------------------------------------------------------
+
+ISQRT_MAX = 1 << 52          # floor(sqrt(double)) is within ±1 below this
+BUDGET_PRODUCT_MAX = 1 << 62
+
+
+def temperature_budgets(
+    ds: Dataset,
+    total_tokens: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> dict:
+    """Per-source token budgets ∝ size^(1/2) — the α-temperature source
+    balancing of multilingual/multi-domain recipes (Pile/mT5/XGLM
+    shape: small sources upsampled relative to proportional mixing,
+    large sources capped) at the one α whose weights stay EXACT
+    integers: ``w_s = isqrt(T_s)`` (math.isqrt — no float sqrt), then
+    ``budget_s = (total_tokens * w_s) // Σw`` (floor division). The SQL
+    twin recomputes isqrt exactly as floor(sqrt(double)) plus a ±1
+    correction, valid for totals < 2^52 (guarded loudly here).
+
+    One streaming pass: per-batch (source, n_tokens) Arrow combiner →
+    one bounded groupby (n_sources rows on the driver)."""
+    from ray.data.aggregate import Sum
+
+    configure_data_context()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch[source_col],
+            "n_tokens": pa.array(flat_tokens(batch[text_col])[0], pa.int64()),
+        })
+        agg = t.group_by(["source"]).aggregate([("n_tokens", "sum")])
+        return agg.rename_columns(["source", "n_tokens"])
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()  # bounded: one row per source
+    )
+    import math
+
+    weights = {}
+    for _, row in totals.iterrows():
+        t = int(row.total)
+        if t >= ISQRT_MAX:
+            raise ValueError(
+                f"temperature_budgets: source {row.source!r} total {t} "
+                f">= 2^52 — the SQL isqrt correction bound; shard the "
+                f"source or raise the contract"
+            )
+        weights[row.source] = math.isqrt(t)
+    wsum = sum(weights.values())
+    if wsum == 0:
+        return {s: 0 for s in weights}
+    if total_tokens * max(weights.values()) >= BUDGET_PRODUCT_MAX:
+        raise ValueError("temperature_budgets: total_tokens x weight "
+                         "overflows the exact integer contract")
+    return {s: (total_tokens * w) // wsum for s, w in weights.items()}
+
+
+def temperature_mixture_sample(
+    ds: Dataset,
+    total_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    num_partitions: int = 4,
+) -> Dataset:
+    """Derive α=1/2 temperature budgets from the corpus itself, then
+    admit docs per source in deterministic content-hash order until
+    each budget is exhausted (the mixture_sample machinery). End to end
+    integer-exact, so the DuckDB oracle recomputes composition →
+    weights → budgets → selection in one statement."""
+    budgets = temperature_budgets(ds, total_tokens, text_col, source_col)
+    return mixture_sample(ds, budgets, id_col, text_col, source_col,
+                          num_partitions)
+
+
+def sql_temperature_mixture(
+    total_tokens: int, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB recompute of the full temperature chain. isqrt is exact:
+    s0 = floor(sqrt(x)) is within ±1 of isqrt(x) for x < 2^52, so one
+    two-sided correction pins it."""
+    n_tok = (f"CAST(CASE WHEN trim(coalesce({text_col}, '')) = '' THEN 0 "
+             f"ELSE len(string_split_regex(trim({text_col}), '\\s+')) "
+             f"END AS BIGINT)")
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {source_col} AS source, {n_tok} AS n_tokens,
+                 md5(coalesce({text_col}, '')) AS h
+          FROM {table}
+        ),
+        comp AS (
+          SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total
+          FROM t GROUP BY source
+        ),
+        s0 AS (
+          SELECT source, total,
+                 CAST(floor(sqrt(CAST(total AS DOUBLE))) AS BIGINT) AS r
+          FROM comp
+        ),
+        w AS (
+          SELECT source,
+                 r + CASE WHEN (r+1)*(r+1) <= total THEN 1
+                          WHEN r*r > total THEN -1 ELSE 0 END AS wgt
+          FROM s0
+        ),
+        b AS (
+          SELECT source,
+                 ({int(total_tokens)} * wgt)
+                   // (SELECT sum(wgt) FROM w) AS budget
+          FROM w
+        ),
+        c AS (
+          SELECT t.{id_col}, t.source, t.n_tokens, b.budget,
+                 SUM(t.n_tokens) OVER (
+                   PARTITION BY t.source ORDER BY t.h, t.{id_col}
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t JOIN b USING (source)
+        )
+        SELECT {id_col}, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        FROM c WHERE cum <= budget
+    """
